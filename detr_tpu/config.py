@@ -1,0 +1,174 @@
+"""Typed configuration dataclasses.
+
+Capability parity with the reference's two config dataclasses
+(``DETRConfig`` at reference detr/model.py:13-28 and ``TrainingConfig`` at
+reference detr/train.py:30-103), extended with TPU-native fields (mesh shape,
+shape buckets, Pallas toggles, donation).  Field names follow the reference
+wherever a field has a reference counterpart so users can migrate configs 1:1.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional, Sequence, Tuple
+
+
+@dataclass
+class DETRConfig:
+    """Model hyperparameters (reference detr/model.py:13-28).
+
+    Defaults reproduce DETR-R50: 100 queries, 6+6 transformer layers, 8 heads,
+    d_model 256, FFN 2048 (256*8), dropout 0.1, 80 COCO classes (+1 no-object).
+    """
+
+    backbone: str = "resnet50"  # "resnet50" | "resnet101"
+    # Dilated C5 variant (DETR-DC5): stride-16 final stage via dilation, 2x tokens.
+    dilation: bool = False
+    temperature: int = 10000  # positional-encoding frequency temperature
+    num_object_queries: int = 100
+    num_encoder_layers: int = 6
+    num_decoder_layers: int = 6
+    num_attention_heads: int = 8
+    hidden_size: int = 256
+    ffn_scale_factor: int = 8  # FFN width = hidden_size * 8 = 2048
+    hidden_dropout_prob: float = 0.1
+    attention_probs_dropout_prob: float = 0.1
+    box_embedding_mlp_num_layers: int = 3
+    initializer_range: float = 0.02
+    layer_norm_eps: float = 1e-5
+    num_classes: int = 80
+
+    # --- TPU-native fields (no reference counterpart) ---
+    # Compute dtype for the jitted forward/backward (params stay fp32).
+    dtype: str = "bfloat16"
+    # Padding-mask semantics. The reference's mask builder
+    # (detr/model.py:96-114) only marks the bottom-right *corner*
+    # (rows >= h AND cols >= w) — a bug vs official DETR, which masks the full
+    # L-shaped pad region. "full" fixes the bug (our default); "corner"
+    # reproduces the reference bit-for-bit for golden parity tests.
+    padding_mask_mode: str = "full"  # "full" | "corner"
+    # Use the fused Pallas masked-flash-attention kernel for encoder
+    # self-attention (falls back to the XLA path when False or unsupported).
+    use_pallas_attention: bool = False
+    # Load pretrained backbone weights from this .npz (converted from
+    # torchvision via models/convert.py); None → random init.
+    backbone_weights: Optional[str] = None
+
+    @property
+    def head_size(self) -> int:
+        assert self.hidden_size % self.num_attention_heads == 0
+        return self.hidden_size // self.num_attention_heads
+
+    @property
+    def ffn_hidden_size(self) -> int:
+        return self.hidden_size * self.ffn_scale_factor
+
+    @property
+    def backbone_stride(self) -> int:
+        """Total stride of the extracted feature map (reference model.py:435)."""
+        return 16 if self.dilation else 32
+
+    @property
+    def backbone_channels(self) -> int:
+        return 2048
+
+    def replace(self, **kw) -> "DETRConfig":
+        return dataclasses.replace(self, **kw)
+
+
+@dataclass
+class TrainingConfig:
+    """Trainer hyperparameters (reference detr/train.py:30-103).
+
+    Every reference field is preserved; TPU-native fields are grouped at the
+    bottom.
+    """
+
+    output_dir: str = "runs/detr"
+    overwrite_output_dir: bool = True
+    start_epoch: int = 0
+    resume_from_checkpoint: Optional[str] = None
+
+    coco_dataset_root: str = "datasets/coco-2017"
+
+    # Effective batch 64 via gradient accumulation (reference train.py:40-42,116)
+    cumulative_train_batch_size: int = 64
+    train_batch_size: int = 5
+    val_batch_size: int = 25
+
+    epochs: int = 100
+    limit_train_iters: int = 0
+    limit_val_iters: int = 0
+
+    # Warmup -> hold -> cosine schedule, stepped once per epoch
+    # (reference train.py:48-64,187-204).
+    lr: float = 3e-4
+    lr_backbone: float = 3e-5  # backbone always 10x lower
+    lr_warmup_epochs: int = 5
+    lr_warmup_decay: float = 0.01
+    lr_hold_max_epochs: int = 35
+    lr_min: float = 3e-6
+
+    weight_decay: float = 1e-4
+    # Declared by the reference (train.py:68) but never wired into the
+    # optimizer there; we honor it: weight decay applied to LayerNorm /
+    # FrozenBN-adjacent scale+bias params. 0.0 keeps the official behavior.
+    norm_weight_decay: float = 0.0
+    gradient_max_norm: float = 1.0
+
+    mixed_precision: str = "bf16"  # "bf16" | "no"
+
+    checkpoint_total_limit: int = 3
+    checkpoint_epochs: int = 1
+    save_image_epochs: int = 1
+    seed: int = 0
+    log_frequency: int = 100
+
+    num_workers: int = 2
+
+    # eval
+    box_min_size: float = 5.0
+    box_min_area: float = 50.0
+    eval_epochs: int = 10
+
+    # Matcher cost weights (reference train.py:90-96)
+    set_cost_class: float = 1.0
+    set_cost_bbox: float = 5.0
+    set_cost_giou: float = 2.0
+
+    # Loss coefficients (reference train.py:98-103)
+    label_ce_loss_coef: float = 1.0
+    bbox_loss_coef: float = 5.0
+    giou_loss_coef: float = 2.0
+    eos_coef: float = 0.1
+
+    # --- TPU-native fields (no reference counterpart) ---
+    # Data-parallel mesh size (number of chips along the "data" axis). 0 means
+    # "all visible devices".
+    num_devices: int = 0
+    # Aspect-ratio buckets as (height, width) pairs the jitted step compiles
+    # for; images are padded to the smallest bucket that fits (SURVEY §7.5).
+    shape_buckets: Tuple[Tuple[int, int], ...] = (
+        (768, 768),
+        (512, 1024),
+        (1024, 512),
+    )
+    # Eval runs at one fixed shape (shortest side 800, max side 1333, both
+    # rounded up to /32 — reference val transform detr/data.py:66-83).
+    eval_shape: Tuple[int, int] = (800, 1344)
+    # Maximum number of GT boxes per image after padding (COCO max is 93;
+    # boxes beyond this are dropped with a warning).
+    max_gt_boxes: int = 100
+    # All-reduce the set-loss box normalizer across the data mesh axis
+    # (official-DETR behavior the reference dropped — loss.py:142).
+    global_loss_normalizer: bool = True
+    # Donate the train-state buffers to the jitted step (halves HBM).
+    donate_state: bool = True
+
+    @property
+    def gradient_accumulation_steps(self) -> int:
+        return max(1, self.cumulative_train_batch_size // self.train_batch_size)
+
+    def replace(self, **kw) -> "TrainingConfig":
+        return dataclasses.replace(self, **kw)
