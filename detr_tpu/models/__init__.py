@@ -1,0 +1,20 @@
+from detr_tpu.models.detr import DETR, make_image_padding_mask
+from detr_tpu.models.resnet import ResNetBackbone
+from detr_tpu.models.transformer import (
+    FFN,
+    MLP,
+    Decoder,
+    Encoder,
+    MultiHeadAttention,
+)
+
+__all__ = [
+    "DETR",
+    "make_image_padding_mask",
+    "ResNetBackbone",
+    "Encoder",
+    "Decoder",
+    "FFN",
+    "MLP",
+    "MultiHeadAttention",
+]

@@ -1,0 +1,162 @@
+"""Model tests: shapes, masking semantics, deep supervision, param parity."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from detr_tpu.config import DETRConfig
+from detr_tpu.models import DETR, Encoder, make_image_padding_mask
+from detr_tpu.models.resnet import ResNetBackbone
+
+TINY = DETRConfig(
+    num_object_queries=10,
+    num_encoder_layers=2,
+    num_decoder_layers=2,
+    num_attention_heads=4,
+    hidden_size=32,
+    ffn_scale_factor=2,
+    num_classes=7,
+    dtype="float32",
+)
+
+
+def test_padding_mask_full_vs_corner():
+    heights = jnp.array([33, 64])  # ceil/32 -> 2, 2
+    widths = jnp.array([32, 64])  # -> 1, 2
+    full = np.asarray(make_image_padding_mask(2, 2, heights, widths, 32, "full"))
+    corner = np.asarray(make_image_padding_mask(2, 2, heights, widths, 32, "corner"))
+    # image 0: valid 2x1. full masks the whole right column.
+    np.testing.assert_array_equal(full[0], [[False, True], [False, True]])
+    # corner-bug mode: only rows>=2 AND cols>=1 -> nothing in a 2x2 grid
+    # with h=2: the right strip stays unmasked (the reference bug).
+    np.testing.assert_array_equal(corner[0], [[False, False], [False, False]])
+    np.testing.assert_array_equal(full[1], [[False, False], [False, False]])
+
+
+def test_encoder_masks_padded_keys(rng):
+    """Valid-token encoder outputs must not depend on padded-token content."""
+    cfg = TINY
+    B, S = 2, 6
+    enc = Encoder(cfg)
+    pos = jnp.asarray(rng.normal(size=(B, S, cfg.hidden_size)).astype(np.float32))
+    mask = jnp.asarray(np.array([[False] * 4 + [True] * 2, [False] * 6]))
+
+    x1 = rng.normal(size=(B, S, cfg.hidden_size)).astype(np.float32)
+    x2 = x1.copy()
+    x2[0, 4:] += 100.0  # perturb padded tokens only
+
+    params = enc.init(jax.random.PRNGKey(0), jnp.asarray(x1), pos, mask)
+    y1 = enc.apply(params, jnp.asarray(x1), pos, mask)
+    y2 = enc.apply(params, jnp.asarray(x2), pos, mask)
+    np.testing.assert_allclose(
+        np.asarray(y1)[0, :4], np.asarray(y2)[0, :4], atol=1e-5
+    )
+    # unmasked image identical throughout
+    np.testing.assert_allclose(np.asarray(y1)[1], np.asarray(y2)[1], atol=1e-6)
+
+
+@pytest.fixture(scope="module")
+def tiny_detr():
+    model = DETR(TINY)
+    images = jax.random.normal(jax.random.PRNGKey(42), (2, 64, 96, 3), jnp.float32)
+    heights = jnp.array([64, 33])
+    widths = jnp.array([96, 64])
+    variables = model.init(jax.random.PRNGKey(0), images, heights, widths)
+    return model, variables, images, heights, widths
+
+
+def test_detr_forward_shapes(tiny_detr):
+    model, variables, images, heights, widths = tiny_detr
+    out = model.apply(variables, images, heights, widths)
+    L, Q, C = TINY.num_decoder_layers, TINY.num_object_queries, TINY.num_classes
+    assert out["pred_logits"].shape == (2, L, Q, C + 1)
+    assert out["pred_boxes"].shape == (2, L, Q, 4)
+    assert out["pred_logits"].dtype == jnp.float32
+    boxes = np.asarray(out["pred_boxes"])
+    assert (boxes > 0).all() and (boxes < 1).all()
+
+
+def test_detr_deterministic_and_dropout(tiny_detr):
+    model, variables, images, heights, widths = tiny_detr
+    o1 = model.apply(variables, images, heights, widths)
+    o2 = model.apply(variables, images, heights, widths)
+    np.testing.assert_array_equal(
+        np.asarray(o1["pred_logits"]), np.asarray(o2["pred_logits"])
+    )
+    # train mode with different dropout rngs differs
+    d1 = model.apply(
+        variables,
+        images,
+        heights,
+        widths,
+        False,
+        rngs={"dropout": jax.random.PRNGKey(1)},
+    )
+    d2 = model.apply(
+        variables,
+        images,
+        heights,
+        widths,
+        False,
+        rngs={"dropout": jax.random.PRNGKey(2)},
+    )
+    assert not np.allclose(
+        np.asarray(d1["pred_logits"]), np.asarray(d2["pred_logits"])
+    )
+
+
+def test_frozen_collection_not_in_params(tiny_detr):
+    _, variables, *_ = tiny_detr
+    assert "frozen" in variables
+    assert "params" in variables
+    flat = jax.tree_util.tree_leaves(variables["frozen"])
+    assert all(not isinstance(x, dict) for x in flat)
+    # No BN scale/bias inside trainable params of the backbone
+    backbone_params = variables["params"]["backbone"]
+    names = jax.tree_util.tree_flatten_with_path(backbone_params)[0]
+    joined = [jax.tree_util.keystr(p) for p, _ in names]
+    assert not any("bn" in s for s in joined)
+
+
+def test_param_count_parity():
+    """Reference prints ~41M trainable params (SURVEY §6, train.py:170-171)."""
+    model = DETR(DETRConfig())
+    variables = jax.eval_shape(
+        lambda: model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, 64, 64, 3), jnp.float32),
+            jnp.array([64]),
+            jnp.array([64]),
+        )
+    )
+    n = sum(
+        int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(variables["params"])
+    )
+    assert 39e6 < n < 43e6, f"param count {n/1e6:.2f}M out of expected range"
+
+
+def test_resnet_output_stride():
+    feats = jax.eval_shape(
+        lambda v, x: ResNetBackbone(dtype="float32").apply(v, x),
+        jax.eval_shape(
+            ResNetBackbone(dtype="float32").init,
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, 96, 64, 3)),
+        ),
+        jnp.zeros((1, 96, 64, 3)),
+    )
+    assert feats.shape == (1, 3, 2, 2048)
+
+
+def test_resnet_dc5_stride():
+    feats = jax.eval_shape(
+        lambda v, x: ResNetBackbone(dilation=True, dtype="float32").apply(v, x),
+        jax.eval_shape(
+            ResNetBackbone(dilation=True, dtype="float32").init,
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, 64, 64, 3)),
+        ),
+        jnp.zeros((1, 64, 64, 3)),
+    )
+    assert feats.shape == (1, 4, 4, 2048)
