@@ -1,0 +1,15 @@
+from detr_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    replicate,
+    shard_batch,
+    shard_state,
+)
+
+__all__ = [
+    "make_mesh",
+    "batch_sharding",
+    "replicate",
+    "shard_batch",
+    "shard_state",
+]
