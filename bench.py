@@ -1,0 +1,119 @@
+"""Throughput benchmark: fused DETR-R50 train step on the attached TPU.
+
+Headline metric (BASELINE.md): train images/sec/chip for the full fused step
+(forward + on-device Hungarian match + set loss + backward + AdamW update),
+DETR-R50 at batch 8, fixed 800x800 (BASELINE config #2), bf16 compute.
+
+Baseline: the reference publishes no throughput; BASELINE.md derives
+~34 img/s on its RTX 4090 (fwd+match+loss+bwd, batch 5) from the 4-day /
+100-epoch figure.  ``vs_baseline`` is images/sec/chip relative to that.
+
+Prints ONE JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_IMG_PER_S = 34.0
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from detr_tpu.config import DETRConfig, TrainingConfig
+    from detr_tpu.data import synthetic_batch
+    from detr_tpu.models import DETR
+    from detr_tpu.train import build_optimizer, create_train_state
+    from detr_tpu.train.train_step import (
+        _targets_of_batch,
+        build_criterion,
+    )
+    from detr_tpu.losses.criterion import total_loss
+
+    batch_size = 8
+    height = width = 800
+
+    detr_config = DETRConfig(dtype="bfloat16")
+    train_config = TrainingConfig(
+        cumulative_train_batch_size=batch_size,  # time raw steps, no accumulation
+        train_batch_size=batch_size,
+    )
+
+    model = DETR(detr_config)
+    criterion = build_criterion(train_config, detr_config)
+    tx, _ = build_optimizer(train_config, steps_per_epoch=1000)
+
+    def make_batch(seed):
+        return {
+            k: jnp.asarray(v)
+            for k, v in synthetic_batch(
+                np.random.default_rng(seed),
+                batch_size=batch_size,
+                height=height,
+                width=width,
+                max_gt=25,
+            ).items()
+        }
+
+    warm_batch, timed_batch = make_batch(1), make_batch(2)
+    state = create_train_state(model, tx, jax.random.PRNGKey(0), warm_batch)
+
+    def loss_fn(params, frozen, b, rng_):
+        out = model.apply(
+            {"params": params, "frozen": frozen},
+            b["image"],
+            b["height"],
+            b["width"],
+            False,
+            rngs={"dropout": rng_},
+        )
+        return total_loss(criterion(out, _targets_of_batch(b)))
+
+    def one_step(s, b):
+        rng_, drng = jax.random.split(s.rng)
+        loss, grads = jax.value_and_grad(loss_fn)(s.params, s.frozen, b, drng)
+        return s.apply_gradients(grads).replace(rng=rng_), loss
+
+    # Time K chained steps inside ONE compiled program: the remote-tunnel
+    # runtime has large per-dispatch latency and defers execution until a
+    # value is materialized, so naive step-loop timing is dishonest.
+    K = 10
+
+    @jax.jit
+    def run(s, b):
+        def body(i, carry):
+            s, _ = carry
+            return one_step(s, b)
+        return jax.lax.fori_loop(0, K, body, (s, jnp.float32(0)))
+
+    s2, loss = run(state, warm_batch)  # compile + warm execution
+    _ = float(loss)
+
+    t0 = time.perf_counter()
+    s2, loss = run(state, timed_batch)
+    _ = float(loss)  # forces full materialization
+    dt = time.perf_counter() - t0
+
+    img_per_s = batch_size * K / dt
+    print(
+        json.dumps(
+            {
+                "metric": "train_images_per_sec_per_chip",
+                "value": round(img_per_s, 2),
+                "unit": "img/s",
+                "vs_baseline": round(img_per_s / BASELINE_IMG_PER_S, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

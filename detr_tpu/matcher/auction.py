@@ -46,7 +46,7 @@ _NEG_LARGE = -1e30
 
 @partial(
     jax.jit,
-    static_argnames=("max_iters", "eps_start_scale", "eps_decay", "eps_min"),
+    static_argnames=("max_iters", "eps_start_scale", "eps_decay", "eps_min", "unroll"),
 )
 def auction_lap(
     cost: Array,
@@ -55,6 +55,7 @@ def auction_lap(
     eps_decay: float = 0.15,
     eps_min: float = 1e-4,
     max_iters: int = 4000,
+    unroll: int = 8,
 ) -> tuple[Array, Array]:
     """Solve ``min sum cost[query_of_gt[g], g]`` over injective assignments.
 
@@ -67,6 +68,11 @@ def auction_lap(
       eps_min: final epsilon; total cost is within (#valid GT) * eps_min of
         the optimum.
       max_iters: static safety cap on total auction iterations.
+      unroll: auction rounds executed per ``while_loop`` body.  TPU
+        while-loop iterations carry a fixed dispatch overhead that dwarfs the
+        tiny per-round VPU work; unrolling amortizes it (the extra rounds
+        executed past convergence are harmless no-ops: nobody bids once
+        everyone is assigned and epsilon is final).
 
     Returns:
       (query_of_gt, n_iters): (G,) int32 with the assigned query index per
@@ -98,6 +104,11 @@ def auction_lap(
         prices, owner, obj_of_person, eps, it = state
         done = jnp.all(obj_of_person >= 0) & (eps <= eps_min)
         return (~done) & (it < max_iters)
+
+    def unrolled_body(state):
+        for _ in range(unroll):
+            state = body(state)
+        return state
 
     def body(state):
         prices, owner, obj_of_person, eps, it = state
@@ -181,7 +192,9 @@ def auction_lap(
         eps0,
         jnp.int32(0),
     )
-    prices, owner, obj_of_person, eps, it = jax.lax.while_loop(cond, body, init)
+    prices, owner, obj_of_person, eps, it = jax.lax.while_loop(
+        cond, unrolled_body, init
+    )
     query_of_gt = jnp.where(gt_valid, obj_of_person[:G], -1)
     query_of_gt = _greedy_complete(cost, query_of_gt, gt_valid)
     return query_of_gt, it

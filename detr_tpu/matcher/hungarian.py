@@ -77,7 +77,17 @@ def compute_cost_matrix(
     return jnp.where(gt_valid[None, :], cost, 0.0)
 
 
-@partial(jax.jit, static_argnames=("cost_class", "cost_bbox", "cost_giou"))
+def _use_pallas_default() -> bool:
+    # The VMEM-resident kernel targets real TPUs; interpret-mode on CPU is
+    # only for tests.  Platforms named "tpu" or the axon tunnel count.
+    try:
+        plat = jax.devices()[0].platform.lower()
+    except Exception:
+        return False
+    return plat in ("tpu", "axon")
+
+
+@partial(jax.jit, static_argnames=("cost_class", "cost_bbox", "cost_giou", "impl"))
 def match_batch(
     pred_logits: Array,
     pred_boxes: Array,
@@ -87,12 +97,15 @@ def match_batch(
     cost_class: float = 1.0,
     cost_bbox: float = 5.0,
     cost_giou: float = 2.0,
+    impl: str = "auto",
 ) -> Array:
-    """Vmapped cost + solve over arbitrary leading batch dims.
+    """Batched cost + solve over arbitrary leading batch dims.
 
     Args: leading dims (…) broadcast across all args —
       pred_logits (…, Q, C+1), pred_boxes (…, Q, 4), gt_labels (…, G),
       gt_boxes (…, G, 4), gt_valid (…, G).
+      impl: "pallas" (VMEM-resident TPU kernel), "xla" (lax.while_loop
+        reference), or "auto" (pallas on TPU, xla elsewhere).
     Returns query_of_gt (…, G) int32, gradients stopped.
     """
     batch_shape = pred_logits.shape[:-2]
@@ -106,14 +119,29 @@ def match_batch(
     gb = flat(gt_boxes, (G, 4))
     gv = flat(gt_valid, (G,))
 
-    def solve_one(pl_i, pb_i, gl_i, gb_i, gv_i):
-        cost = compute_cost_matrix(
-            pl_i, pb_i, gl_i, gb_i, gv_i, cost_class, cost_bbox, cost_giou
+    costs = jax.vmap(
+        partial(
+            compute_cost_matrix,
+            cost_class=cost_class,
+            cost_bbox=cost_bbox,
+            cost_giou=cost_giou,
         )
-        qog, _ = auction_lap(cost, gv_i)
-        return qog
+    )(pl, pb, gl, gb, gv)
+    # Cut tangents *before* the solver: the matching is non-differentiable
+    # (reference wraps it in no_grad, detr/matcher.py:40), and the Pallas
+    # kernel has no JVP rule — without this, jax.grad fails to linearize.
+    costs = jax.lax.stop_gradient(costs)
 
-    qog = jax.vmap(solve_one)(pl, pb, gl, gb, gv)
+    if impl == "auto":
+        impl = "pallas" if _use_pallas_default() else "xla"
+    if impl == "pallas":
+        from detr_tpu.matcher.pallas_auction import pallas_auction_lap
+
+        qog, _ = pallas_auction_lap(costs, gv)
+    elif impl == "xla":
+        qog = jax.vmap(lambda c, v: auction_lap(c, v)[0])(costs, gv)
+    else:
+        raise ValueError(f"unknown matcher impl: {impl!r}")
     return jax.lax.stop_gradient(qog.reshape(batch_shape + (G,)))
 
 

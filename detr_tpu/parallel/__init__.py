@@ -1,4 +1,5 @@
 from detr_tpu.parallel.mesh import (
+    assert_divisible,
     batch_sharding,
     make_mesh,
     replicate,
@@ -12,4 +13,5 @@ __all__ = [
     "replicate",
     "shard_batch",
     "shard_state",
+    "assert_divisible",
 ]
