@@ -1,0 +1,115 @@
+"""Aspect-ratio bucketing + fixed-shape batch assembly.
+
+The TPU-native replacement for the reference's pad-to-max ragged collate
+(reference detr/data.py:181-222): XLA compiles one program per input shape,
+and the reference's per-batch dynamic padding would recompile every step
+(SURVEY §7 hard part #2).  Instead, every augmented image is padded into one
+of a small fixed set of (H, W) *buckets* (chosen by best fit, downscaling
+only when the image exceeds every bucket), and GT is padded to a static
+``max_gt`` with a validity mask — the jitted train step sees at most
+``len(buckets)`` shapes, ever.
+
+Batch layout (everything fixed-shape numpy, NHWC):
+  image            (B, H, W, 3) fp32, zero padding (reference data.py:199-203)
+  height / width   (B,) int32 valid extents (reference data.py:193-194)
+  image_id         (B,) int32
+  class_idx        (B, G) int32        class_id (B, G) int32
+  iscrowd          (B, G) bool         gt_valid (B, G) bool
+  boxes            (B, G, 4) fp32 XYXY in pixels (eval metrics)
+  boxes_normalized (B, G, 4) fp32 XYXY / (w, h, w, h)
+                   (reference data.py:216-219)
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+
+from detr_tpu.data.transforms import resize as _resize
+
+# Buckets covering the reference augmentation envelope (shortest side
+# 480-800, longest <= 1333) with moderate pad waste; /32-aligned.
+DEFAULT_BUCKETS = ((832, 1344), (1344, 832), (1056, 1056))
+# Val transform yields shortest side exactly 800 (longest <= 1333); two
+# buckets cover landscape and portrait without downscaling anything.
+EVAL_BUCKETS = ((800, 1344), (1344, 800))
+EVAL_BUCKET = EVAL_BUCKETS[0]  # back-compat alias
+
+
+def pick_bucket(h: int, w: int, buckets: Sequence[tuple[int, int]]) -> int:
+    """Index of the smallest-waste bucket that fits (h, w); if none fits,
+
+    the bucket needing the least downscale."""
+    best_fit, best_waste = -1, None
+    for i, (bh, bw) in enumerate(buckets):
+        if h <= bh and w <= bw:
+            waste = bh * bw - h * w
+            if best_waste is None or waste < best_waste:
+                best_fit, best_waste = i, waste
+    if best_fit >= 0:
+        return best_fit
+    # downscale case: maximize fitted scale
+    scales = [min(bh / h, bw / w) for bh, bw in buckets]
+    return int(np.argmax(scales))
+
+
+def fit_to_bucket(img: np.ndarray, target: dict, bucket: tuple[int, int]):
+    """Downscale (aspect-preserving) iff the image exceeds the bucket."""
+    h, w = img.shape[:2]
+    bh, bw = bucket
+    if h <= bh and w <= bw:
+        return img, target
+    scale = min(bh / h, bw / w)
+    return _resize(
+        (img if img.dtype == np.uint8 else img.astype(np.float32)),
+        target,
+        int(h * scale),
+        int(w * scale),
+    )
+
+
+def assemble_batch(
+    items: Sequence[tuple[np.ndarray, dict]],
+    bucket: tuple[int, int],
+    max_gt: int = 100,
+) -> dict[str, np.ndarray]:
+    """Pad images into the bucket and GT to max_gt (fixed shapes)."""
+    B = len(items)
+    bh, bw = bucket
+    G = max_gt
+    batch = {
+        "image": np.zeros((B, bh, bw, 3), np.float32),
+        "height": np.zeros((B,), np.int32),
+        "width": np.zeros((B,), np.int32),
+        "image_id": np.zeros((B,), np.int32),
+        "class_idx": np.zeros((B, G), np.int32),
+        "class_id": np.zeros((B, G), np.int32),
+        "iscrowd": np.zeros((B, G), bool),
+        "gt_valid": np.zeros((B, G), bool),
+        "boxes": np.zeros((B, G, 4), np.float32),
+        "boxes_normalized": np.zeros((B, G, 4), np.float32),
+    }
+    for b, (img, t) in enumerate(items):
+        h, w = img.shape[:2]
+        assert h <= bh and w <= bw, f"image ({h},{w}) exceeds bucket {bucket}"
+        batch["image"][b, :h, :w] = img
+        batch["height"][b] = h
+        batch["width"][b] = w
+        batch["image_id"][b] = t.get("image_id", 0)
+        n = min(len(t["boxes"]), G)
+        if len(t["boxes"]) > G:
+            # COCO's max is 93; only adversarial inputs hit this.
+            import warnings
+
+            warnings.warn(f"dropping {len(t['boxes']) - G} GT boxes beyond max_gt={G}")
+        if n:
+            batch["boxes"][b, :n] = t["boxes"][:n]
+            batch["boxes_normalized"][b, :n] = t["boxes"][:n] / np.array(
+                [w, h, w, h], np.float32
+            )
+            batch["class_idx"][b, :n] = t["class_idx"][:n]
+            batch["class_id"][b, :n] = t["class_id"][:n]
+            batch["iscrowd"][b, :n] = t["iscrowd"][:n]
+            batch["gt_valid"][b, :n] = True
+    return batch

@@ -1,0 +1,297 @@
+"""Host-side augmentation pipeline (numpy + PIL).
+
+Reproduces the reference's torchvision-v2 transform stacks
+(detr/data.py:20-83) without torchvision:
+
+train (reference detr/data.py:31-63):
+  hflip(0.5) -> photometric distort(0.5) -> RandomChoice[
+      RandomShortestSize(scales 480:800:32, max 1333)
+    | RandomShortestSize([400,500,600]) -> RandomSizeCrop(384,600)
+      -> RandomShortestSize(scales, 1333) ]
+  -> clamp boxes -> sanitize boxes -> float [0,1] -> ImageNet normalize
+
+val (reference detr/data.py:66-83):
+  shortest-side 800 / max 1333 -> clamp -> sanitize -> normalize
+
+Semantics notes (documented approximations):
+  * RandomShortestSize matches torchvision: ratio = min_size / min(h, w)
+    capped by max_size / max(h, w); bilinear PIL resize.
+  * RandomSizeCrop samples w, h uniformly from [min_size, min(side, max_size))
+    with a random in-bounds top-left, like the reference subclass
+    (detr/data.py:162-178).
+  * PhotometricDistort follows torchvision's RandomPhotometricDistort:
+    brightness / contrast / saturation / hue each applied with prob p, the
+    contrast op randomly ordered before or after the saturation+hue pair,
+    plus a channel permutation with prob p.  Color math (contrast via gray
+    mean, saturation via gray blend, hue via HSV rotation) mirrors
+    torchvision's functional definitions in float32.
+  * Sanitize drops boxes whose clamped width or height < 1 pixel
+    (torchvision SanitizeBoundingBoxes defaults), keeping class_idx /
+    class_id / iscrowd aligned — the reference wires those via
+    ``labels_getter`` (detr/data.py:11-17).
+
+All functions are pure: they take/return ``(np.ndarray image HWC, target)``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from PIL import Image
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+TRAIN_SCALES = (480, 512, 544, 576, 608, 640, 672, 704, 736, 768, 800)
+MAX_SIZE = 1333
+
+
+# ---------------------------------------------------------------- helpers
+
+
+def _to_numpy(img) -> np.ndarray:
+    if isinstance(img, np.ndarray):
+        return img
+    return np.asarray(img)  # PIL -> HWC uint8
+
+
+def hflip(img: np.ndarray, target: dict) -> tuple[np.ndarray, dict]:
+    h, w = img.shape[:2]
+    img = img[:, ::-1]
+    boxes = target["boxes"].copy()
+    if len(boxes):
+        boxes[:, [0, 2]] = w - boxes[:, [2, 0]]
+    target = dict(target, boxes=boxes)
+    return img, target
+
+
+def resize(img: np.ndarray, target: dict, new_h: int, new_w: int):
+    h, w = img.shape[:2]
+    if img.dtype == np.uint8:
+        pil = Image.fromarray(img)
+        img = np.asarray(pil.resize((new_w, new_h), Image.BILINEAR))
+    else:
+        # float images (post-normalize): PIL bilinear per channel, mode "F"
+        chans = [
+            np.asarray(
+                Image.fromarray(np.ascontiguousarray(img[..., c]), mode="F").resize(
+                    (new_w, new_h), Image.BILINEAR
+                )
+            )
+            for c in range(img.shape[2])
+        ]
+        img = np.stack(chans, axis=-1).astype(img.dtype)
+    boxes = target["boxes"].copy()
+    if len(boxes):
+        boxes[:, [0, 2]] *= new_w / w
+        boxes[:, [1, 3]] *= new_h / h
+    return img, dict(target, boxes=boxes)
+
+
+def random_shortest_size(
+    img: np.ndarray, target: dict, rng: np.random.Generator, min_sizes, max_size: int
+):
+    """torchvision RandomShortestSize: pick a min_size, scale so the short
+
+    side hits it without the long side exceeding max_size."""
+    h, w = img.shape[:2]
+    min_size = int(rng.choice(np.atleast_1d(min_sizes)))
+    ratio = min(min_size / min(h, w), max_size / max(h, w))
+    new_h, new_w = int(round(h * ratio)), int(round(w * ratio))
+    return resize(img, target, new_h, new_w)
+
+
+def crop(img: np.ndarray, target: dict, top: int, left: int, ch: int, cw: int):
+    img = img[top : top + ch, left : left + cw]
+    boxes = target["boxes"].copy()
+    if len(boxes):
+        boxes[:, [0, 2]] -= left
+        boxes[:, [1, 3]] -= top
+    return img, dict(target, boxes=boxes)
+
+
+def random_size_crop(
+    img: np.ndarray,
+    target: dict,
+    rng: np.random.Generator,
+    min_size: int = 384,
+    max_size: int = 600,
+):
+    """DETR-paper-style crop (reference detr/data.py:151-178)."""
+    h, w = img.shape[:2]
+    hi_w, hi_h = min(w, max_size), min(h, max_size)
+    if hi_w <= min_size or hi_h <= min_size:
+        return img, target  # image too small to crop
+    cw = int(rng.integers(min_size, hi_w))
+    ch = int(rng.integers(min_size, hi_h))
+    top = int(rng.integers(0, h - ch + 1))
+    left = int(rng.integers(0, w - cw + 1))
+    return crop(img, target, top, left, ch, cw)
+
+
+def clamp_and_sanitize(img: np.ndarray, target: dict):
+    """ClampBoundingBoxes + SanitizeBoundingBoxes (reference data.py:55-58)."""
+    h, w = img.shape[:2]
+    boxes = target["boxes"].copy()
+    if len(boxes):
+        boxes[:, 0::2] = np.clip(boxes[:, 0::2], 0, w)
+        boxes[:, 1::2] = np.clip(boxes[:, 1::2], 0, h)
+        bw = boxes[:, 2] - boxes[:, 0]
+        bh = boxes[:, 3] - boxes[:, 1]
+        keep = (bw >= 1.0) & (bh >= 1.0)
+    else:
+        keep = np.zeros((0,), bool)
+    return img, dict(
+        target,
+        boxes=boxes[keep],
+        class_idx=target["class_idx"][keep],
+        class_id=target["class_id"][keep],
+        iscrowd=target["iscrowd"][keep],
+    )
+
+
+# ------------------------------------------------------ photometric distort
+
+
+def _blend(a: np.ndarray, b: np.ndarray, factor: float) -> np.ndarray:
+    return np.clip(b + factor * (a - b), 0.0, 255.0)
+
+
+def _grayscale(img_f: np.ndarray) -> np.ndarray:
+    g = img_f @ np.array([0.299, 0.587, 0.114], np.float32)
+    return g[..., None]
+
+
+def adjust_brightness(img_f, factor):
+    return np.clip(img_f * factor, 0, 255)
+
+
+def adjust_contrast(img_f, factor):
+    mean = _grayscale(img_f).mean()
+    return _blend(img_f, np.float32(mean), factor)
+
+
+def adjust_saturation(img_f, factor):
+    return _blend(img_f, _grayscale(img_f), factor)
+
+
+def adjust_hue(img_f, delta):
+    """Rotate hue by delta (fraction of the full circle), via HSV."""
+    x = img_f / 255.0
+    mx = x.max(-1)
+    mn = x.min(-1)
+    diff = mx - mn + 1e-12
+    r, g, b = x[..., 0], x[..., 1], x[..., 2]
+    h = np.where(
+        mx == r,
+        ((g - b) / diff) % 6.0,
+        np.where(mx == g, (b - r) / diff + 2.0, (r - g) / diff + 4.0),
+    ) / 6.0
+    s = np.where(mx > 0, diff / (mx + 1e-12), 0.0)
+    v = mx
+    h = (h + delta) % 1.0
+    i = np.floor(h * 6.0)
+    f = h * 6.0 - i
+    p = v * (1 - s)
+    q = v * (1 - f * s)
+    t = v * (1 - (1 - f) * s)
+    i = (i.astype(np.int32) % 6)[..., None]
+    out = np.select(
+        [i == 0, i == 1, i == 2, i == 3, i == 4, i == 5],
+        [
+            np.stack([v, t, p], -1),
+            np.stack([q, v, p], -1),
+            np.stack([p, v, t], -1),
+            np.stack([p, q, v], -1),
+            np.stack([t, p, v], -1),
+            np.stack([v, p, q], -1),
+        ],
+    )
+    return np.clip(out * 255.0, 0, 255)
+
+
+def photometric_distort(
+    img: np.ndarray,
+    rng: np.random.Generator,
+    brightness=(0.875, 1.125),
+    contrast=(0.7, 1.3),
+    saturation=(0.8, 1.2),
+    hue=(-0.05, 0.05),
+    p: float = 0.5,
+) -> np.ndarray:
+    x = img.astype(np.float32)
+    if rng.random() < p:
+        x = adjust_brightness(x, rng.uniform(*brightness))
+    contrast_before = rng.random() < 0.5
+    if contrast_before and rng.random() < p:
+        x = adjust_contrast(x, rng.uniform(*contrast))
+    if rng.random() < p:
+        x = adjust_saturation(x, rng.uniform(*saturation))
+    if rng.random() < p:
+        x = adjust_hue(x, rng.uniform(*hue))
+    if not contrast_before and rng.random() < p:
+        x = adjust_contrast(x, rng.uniform(*contrast))
+    if rng.random() < p:
+        x = x[..., rng.permutation(3)]
+    return x.astype(np.uint8)
+
+
+def normalize(img: np.ndarray) -> np.ndarray:
+    x = img.astype(np.float32) / 255.0
+    return (x - IMAGENET_MEAN) / IMAGENET_STD
+
+
+# ------------------------------------------------------------- pipelines
+
+
+class TrainTransform:
+    """Full reference train augmentation (detr/data.py:20-63)."""
+
+    def __init__(self, seed: int = 0, scales=TRAIN_SCALES, max_size: int = MAX_SIZE):
+        self.rng = np.random.default_rng(seed)
+        self.scales = scales
+        self.max_size = max_size
+
+    def __call__(self, img, target):
+        rng = self.rng
+        img = _to_numpy(img)
+        if rng.random() < 0.5:
+            img, target = hflip(img, target)
+        img = photometric_distort(img, rng)
+        if rng.random() < 0.5:
+            img, target = random_shortest_size(
+                img, target, rng, self.scales, self.max_size
+            )
+        else:
+            img, target = random_shortest_size(img, target, rng, (400, 500, 600), 10_000)
+            img, target = random_size_crop(img, target, rng)
+            img, target = random_shortest_size(
+                img, target, rng, self.scales, self.max_size
+            )
+        img, target = clamp_and_sanitize(img, target)
+        return normalize(img), target
+
+
+class ValTransform:
+    """Reference val transform (detr/data.py:66-83)."""
+
+    def __init__(self, min_size: int = 800, max_size: int = MAX_SIZE):
+        self.min_size = min_size
+        self.max_size = max_size
+        self.rng = np.random.default_rng(0)
+
+    def __call__(self, img, target):
+        img = _to_numpy(img)
+        img, target = random_shortest_size(
+            img, target, self.rng, (self.min_size,), self.max_size
+        )
+        img, target = clamp_and_sanitize(img, target)
+        return normalize(img), target
+
+
+def get_train_transforms(seed: int = 0) -> TrainTransform:
+    return TrainTransform(seed=seed)
+
+
+def get_val_transforms() -> ValTransform:
+    return ValTransform()

@@ -1,0 +1,212 @@
+"""Data-pipeline tests: COCO parsing, augmentation invariants, bucketing,
+
+and the fixed-shape guarantee that keeps XLA from recompiling
+(SURVEY §4 implication (c))."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from detr_tpu.data import (
+    BucketedLoader,
+    CocoDataset,
+    assemble_batch,
+    get_train_transforms,
+    get_val_transforms,
+    make_eval_loader,
+    pick_bucket,
+)
+from detr_tpu.data import transforms as T
+
+
+@pytest.fixture(scope="module")
+def coco_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("coco")
+    rng = np.random.default_rng(0)
+    for split in ("train", "validation"):
+        os.makedirs(root / split / "data")
+        images, annotations = [], []
+        aid = 1
+        n_img = 12 if split == "train" else 6
+        for i in range(n_img):
+            h, w = int(rng.integers(240, 640)), int(rng.integers(240, 640))
+            arr = rng.integers(0, 255, size=(h, w, 3), dtype=np.uint8)
+            name = f"{i:06d}.png"
+            Image.fromarray(arr).save(root / split / "data" / name)
+            images.append({"id": i, "file_name": name, "height": h, "width": w})
+            for _ in range(int(rng.integers(0, 6))):
+                x = float(rng.uniform(0, w - 40))
+                y = float(rng.uniform(0, h - 40))
+                bw = float(rng.uniform(10, 40))
+                bh = float(rng.uniform(10, 40))
+                annotations.append(
+                    {
+                        "id": aid,
+                        "image_id": i,
+                        "category_id": int(rng.choice([1, 3, 7])),
+                        "bbox": [x, y, bw, bh],
+                        "area": bw * bh,
+                        "iscrowd": 0,
+                    }
+                )
+                aid += 1
+        cats = [
+            {"id": 1, "name": "cat"},
+            {"id": 3, "name": "dog"},
+            {"id": 7, "name": "bird"},
+        ]
+        with open(root / split / "labels.json", "w") as f:
+            json.dump(
+                {"images": images, "annotations": annotations, "categories": cats}, f
+            )
+    return str(root)
+
+
+def test_dataset_parsing(coco_root):
+    ds = CocoDataset(coco_root, "train")
+    assert ds.num_classes == 3
+    assert ds.class_names == ["cat", "dog", "bird"]
+    assert ds.class_id2idx == {1: 0, 3: 1, 7: 2}
+    img, target = ds[0]
+    assert img.mode == "RGB"
+    assert target["boxes"].shape[1] == 4 if len(target["boxes"]) else True
+    assert len(target["boxes"]) == len(target["class_idx"]) == len(target["iscrowd"])
+    # XYWH -> XYXY conversion: x1 > x0
+    if len(target["boxes"]):
+        assert (target["boxes"][:, 2] > target["boxes"][:, 0]).all()
+
+
+def test_hflip_box_math():
+    img = np.zeros((10, 20, 3), np.uint8)
+    t = {
+        "boxes": np.array([[2.0, 1.0, 5.0, 4.0]], np.float32),
+        "class_idx": np.array([0]),
+        "class_id": np.array([1]),
+        "iscrowd": np.array([False]),
+    }
+    img2, t2 = T.hflip(img, t)
+    np.testing.assert_allclose(t2["boxes"], [[15.0, 1.0, 18.0, 4.0]])
+
+
+def test_shortest_size_resize():
+    rng = np.random.default_rng(0)
+    img = np.zeros((300, 400, 3), np.uint8)
+    t = {
+        "boxes": np.array([[40.0, 30.0, 80.0, 60.0]], np.float32),
+        "class_idx": np.array([0]),
+        "class_id": np.array([1]),
+        "iscrowd": np.array([False]),
+    }
+    img2, t2 = T.random_shortest_size(img, t, rng, (600,), 1333)
+    assert min(img2.shape[:2]) == 600
+    # boxes scale with the image
+    np.testing.assert_allclose(t2["boxes"], [[80, 60, 160, 120]], rtol=1e-5)
+    # max_size cap engages
+    img3, _ = T.random_shortest_size(img, t, rng, (2000,), 1333)
+    assert max(img3.shape[:2]) <= 1333 + 1
+
+
+def test_sanitize_drops_degenerate():
+    img = np.zeros((50, 50, 3), np.uint8)
+    t = {
+        "boxes": np.array(
+            [[10, 10, 20, 20], [-30, -30, -5, -5], [10, 10, 10.4, 30]], np.float32
+        ),
+        "class_idx": np.array([0, 1, 2]),
+        "class_id": np.array([1, 3, 7]),
+        "iscrowd": np.array([False, True, False]),
+    }
+    _, t2 = T.clamp_and_sanitize(img, t)
+    assert len(t2["boxes"]) == 1
+    assert t2["class_idx"].tolist() == [0]
+
+
+def test_photometric_distort_shape_and_range(rng):
+    img = rng.integers(0, 255, (60, 80, 3), dtype=np.uint8)
+    out = T.photometric_distort(img, np.random.default_rng(1))
+    assert out.shape == img.shape and out.dtype == np.uint8
+
+
+def test_train_transform_end_to_end(coco_root):
+    ds = CocoDataset(coco_root, "train", transform=get_train_transforms(seed=1))
+    img, target = ds[1]
+    h, w = img.shape[:2]
+    assert 479 <= min(h, w) <= 801 or max(h, w) <= 1334
+    assert img.dtype == np.float32
+    if len(target["boxes"]):
+        b = target["boxes"]
+        assert (b[:, 0] >= 0).all() and (b[:, 2] <= w + 1e-3).all()
+        assert (b[:, 1] >= 0).all() and (b[:, 3] <= h + 1e-3).all()
+
+
+def test_pick_bucket():
+    buckets = ((832, 1344), (1344, 832), (1056, 1056))
+    assert pick_bucket(800, 1333, buckets) == 0
+    assert pick_bucket(1333, 800, buckets) == 1
+    assert pick_bucket(1000, 1000, buckets) == 2
+    # oversize -> least-downscale bucket
+    assert pick_bucket(1400, 1400, buckets) == 2
+
+
+def test_assemble_batch_fixed_shapes():
+    items = []
+    for h, w, n in ((100, 200, 2), (150, 120, 0)):
+        img = np.ones((h, w, 3), np.float32)
+        t = {
+            "image_id": 7,
+            "boxes": np.tile([10.0, 10.0, 50.0, 40.0], (n, 1)).astype(np.float32),
+            "class_idx": np.zeros(n, np.int64),
+            "class_id": np.ones(n, np.int64),
+            "iscrowd": np.zeros(n, bool),
+        }
+        items.append((img, t))
+    batch = assemble_batch(items, (256, 256), max_gt=10)
+    assert batch["image"].shape == (2, 256, 256, 3)
+    assert batch["gt_valid"].sum() == 2
+    # zero padding outside valid extent
+    assert batch["image"][0, 100:, :, :].sum() == 0
+    assert batch["image"][0, :, 200:, :].sum() == 0
+    # normalization by per-image extent (reference data.py:216-219)
+    np.testing.assert_allclose(
+        batch["boxes_normalized"][0, 0], [10 / 200, 10 / 100, 50 / 200, 40 / 100]
+    )
+
+
+def test_loader_fixed_shape_guarantee(coco_root):
+    ds = CocoDataset(coco_root, "train", transform=get_train_transforms(seed=2))
+    buckets = ((832, 1344), (1344, 832), (1056, 1056))
+    loader = BucketedLoader(
+        ds, batch_size=2, buckets=buckets, max_gt=16, num_workers=2, drop_last=False
+    )
+    seen_shapes = set()
+    n_batches = 0
+    for batch in loader:
+        seen_shapes.add(batch["image"].shape)
+        assert batch["class_idx"].shape == (2, 16)
+        n_batches += 1
+    assert n_batches >= 1
+    # every emitted shape is a bucket shape — the no-recompile guarantee
+    assert seen_shapes <= {(2, bh, bw, 3) for bh, bw in buckets}
+
+
+def test_eval_loader_single_shape_and_pad_count(coco_root):
+    ds = CocoDataset(coco_root, "validation", transform=get_val_transforms())
+    loader = make_eval_loader(ds, batch_size=4, max_gt=16)
+    batches = list(loader)
+    eval_shapes = {(4, 800, 1344, 3), (4, 1344, 800, 3)}
+    assert all(b["image"].shape in eval_shapes for b in batches)
+    total = sum(4 - int(b["pad_count"]) for b in batches)
+    assert total == len(ds)
+
+
+def test_loader_deterministic_order(coco_root):
+    ds = CocoDataset(coco_root, "validation", transform=get_val_transforms())
+    l1 = list(make_eval_loader(ds, batch_size=3, num_workers=3))
+    l2 = list(make_eval_loader(ds, batch_size=3, num_workers=0))
+    assert len(l1) == len(l2)
+    for a, b in zip(l1, l2):
+        np.testing.assert_array_equal(a["image_id"], b["image_id"])
+        np.testing.assert_allclose(a["image"], b["image"])
