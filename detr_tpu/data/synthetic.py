@@ -56,12 +56,18 @@ def synthetic_batch(
         gt_valid, rng.integers(0, num_classes, size=(B, G)), 0
     ).astype(np.int32)
 
+    scale = np.stack([widths, heights, widths, heights], axis=-1).astype(np.float32)
+    boxes_abs = boxes * scale[:, None, :]
+
     return {
         "image": images,
         "height": heights,
         "width": widths,
-        "image_id": np.arange(B, dtype=np.int32),
+        "image_id": np.arange(1, B + 1, dtype=np.int32),
         "class_idx": class_idx,
+        "class_id": class_idx,
+        "iscrowd": np.zeros((B, G), bool),
+        "boxes": boxes_abs,
         "boxes_normalized": boxes,
         "gt_valid": gt_valid,
     }

@@ -1,0 +1,255 @@
+"""From-scratch COCO mAP evaluator (pure numpy).
+
+TPU-native replacement for the pycocotools C eval kernel the reference uses
+through torchmetrics (reference detr/utils.py:9-54; SURVEY §2.2 row 2) —
+pycocotools is not available in this environment, so the COCOeval protocol
+is re-implemented faithfully:
+
+  * 10 IoU thresholds 0.50:0.05:0.95; AP50/AP75 slices;
+  * 101-point interpolated precision sampled at recall 0:0.01:1;
+  * area ranges all / small(<32^2) / medium(32^2..96^2) / large(>96^2),
+    computed from box area (torchmetrics' box-only behavior);
+  * maxDets=100 per image per class, score-descending;
+  * crowd handling: iscrowd GTs are ignore-GTs with union replaced by the
+    detection's own area in the IoU, detections may match them without
+    counting as TP or FP;
+  * greedy per-detection matching in score order: best IoU >= t among
+    unmatched GTs, preferring non-ignored GTs (a detection settles for an
+    ignored GT only if no real GT clears the threshold);
+  * unmatched detections outside the area range are ignored, not FPs;
+  * classes with zero GT are excluded from the mean (precision = -1).
+
+AP parity with pycocotools was verified on hand-constructed cases in
+tests/test_coco_eval.py; eval runs offline on the host (not the train hot
+path), matching the reference's placement.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from dataclasses import dataclass, field
+
+import numpy as np
+
+IOU_THRESHOLDS = np.arange(0.5, 1.0, 0.05).round(2)  # 10 values
+RECALL_THRESHOLDS = np.linspace(0.0, 1.0, 101)
+AREA_RANGES = {
+    "all": (0.0, 1e10),
+    "small": (0.0, 32.0**2),
+    "medium": (32.0**2, 96.0**2),
+    "large": (96.0**2, 1e10),
+}
+MAX_DETS = 100
+
+
+def _box_area(boxes: np.ndarray) -> np.ndarray:
+    return np.clip(boxes[:, 2] - boxes[:, 0], 0, None) * np.clip(
+        boxes[:, 3] - boxes[:, 1], 0, None
+    )
+
+
+def _iou_matrix(dets: np.ndarray, gts: np.ndarray, iscrowd: np.ndarray) -> np.ndarray:
+    """(D, G) IoU; crowd GT columns use det-area as the denominator
+
+    (pycocotools maskUtils.iou semantics)."""
+    if len(dets) == 0 or len(gts) == 0:
+        return np.zeros((len(dets), len(gts)), np.float64)
+    lt = np.maximum(dets[:, None, :2], gts[None, :, :2])
+    rb = np.minimum(dets[:, None, 2:], gts[None, :, 2:])
+    wh = np.clip(rb - lt, 0, None)
+    inter = wh[..., 0] * wh[..., 1]
+    area_d = _box_area(dets)[:, None]
+    area_g = _box_area(gts)[None, :]
+    union = np.where(iscrowd[None, :], area_d, area_d + area_g - inter)
+    return inter / np.maximum(union, 1e-12)
+
+
+@dataclass
+class _ImageEval:
+    """Per-(image, class) match bookkeeping across IoU thresholds."""
+
+    det_scores: np.ndarray  # (D,)
+    det_matched_ignore: np.ndarray  # (T, D) bool — matched to ignored GT
+    det_matched: np.ndarray  # (T, D) bool
+    det_ignore_area: np.ndarray  # (D,) bool — unmatched + outside area range
+    num_gt: int  # non-ignored GT count
+
+
+class CocoEvaluator:
+    """Accumulates detections + ground truth; computes the COCO AP family."""
+
+    def __init__(self, num_classes: int, class_names=None):
+        self.num_classes = num_classes
+        self.class_names = class_names
+        self.reset()
+
+    def reset(self):
+        self._dets = defaultdict(list)  # image_id -> list of (box, score, label)
+        self._gts = defaultdict(list)  # image_id -> (boxes, labels, iscrowd)
+        self._image_ids = []
+
+    def add_image(
+        self,
+        image_id: int,
+        det_boxes: np.ndarray,
+        det_scores: np.ndarray,
+        det_labels: np.ndarray,
+        gt_boxes: np.ndarray,
+        gt_labels: np.ndarray,
+        gt_iscrowd: np.ndarray | None = None,
+    ):
+        """All boxes XYXY in pixels."""
+        if gt_iscrowd is None:
+            gt_iscrowd = np.zeros(len(gt_boxes), bool)
+        self._image_ids.append(image_id)
+        self._dets[image_id] = (
+            np.asarray(det_boxes, np.float64).reshape(-1, 4),
+            np.asarray(det_scores, np.float64).reshape(-1),
+            np.asarray(det_labels, np.int64).reshape(-1),
+        )
+        self._gts[image_id] = (
+            np.asarray(gt_boxes, np.float64).reshape(-1, 4),
+            np.asarray(gt_labels, np.int64).reshape(-1),
+            np.asarray(gt_iscrowd, bool).reshape(-1),
+        )
+
+    # ------------------------------------------------------------- matching
+
+    def _evaluate_image(self, image_id, cls, area_range) -> _ImageEval | None:
+        db, ds, dl = self._dets[image_id]
+        gb, gl, gc = self._gts[image_id]
+        dsel = dl == cls
+        gsel = gl == cls
+        if not dsel.any() and not gsel.any():
+            return None
+        db, ds = db[dsel], ds[dsel]
+        gb, gc = gb[gsel], gc[gsel]
+
+        lo, hi = area_range
+        g_area = _box_area(gb)
+        g_ignore = gc | (g_area < lo) | (g_area > hi)
+
+        # sort dets by score desc, cap maxDets
+        order = np.argsort(-ds, kind="mergesort")[:MAX_DETS]
+        db, ds = db[order], ds[order]
+        # sort gts: non-ignored first (pycocotools gtind ordering)
+        g_order = np.argsort(g_ignore, kind="mergesort")
+        gb, gc, g_ignore = gb[g_order], gc[g_order], g_ignore[g_order]
+
+        ious = _iou_matrix(db, gb, gc)
+        T = len(IOU_THRESHOLDS)
+        D, G = len(db), len(gb)
+        det_matched = np.zeros((T, D), bool)
+        det_matched_ignore = np.zeros((T, D), bool)
+
+        for ti, t in enumerate(IOU_THRESHOLDS):
+            gt_taken = np.zeros(G, bool)
+            for d in range(D):
+                best_iou = min(t, 1 - 1e-10)
+                best_g = -1
+                for g in range(G):
+                    if gt_taken[g] and not gc[g]:
+                        continue  # taken non-crowd GT can't rematch
+                    # if we already hold a real GT and remaining are ignored,
+                    # stop (gts are sorted real-first)
+                    if best_g > -1 and not g_ignore[best_g] and g_ignore[g]:
+                        break
+                    if ious[d, g] < best_iou:
+                        continue
+                    best_iou = ious[d, g]
+                    best_g = g
+                if best_g == -1:
+                    continue
+                det_matched[ti, d] = True
+                det_matched_ignore[ti, d] = g_ignore[best_g]
+                gt_taken[best_g] = True
+
+        d_area = _box_area(db)
+        det_ignore_area = (d_area < lo) | (d_area > hi)
+        return _ImageEval(
+            det_scores=ds,
+            det_matched_ignore=det_matched_ignore,
+            det_matched=det_matched,
+            det_ignore_area=det_ignore_area,
+            num_gt=int((~g_ignore).sum()),
+        )
+
+    # ----------------------------------------------------------- accumulate
+
+    def _precision_for(self, cls, area_range) -> np.ndarray:
+        """(T, R) interpolated precision, or -1 where the class has no GT."""
+        evals = [
+            e
+            for img in self._image_ids
+            if (e := self._evaluate_image(img, cls, area_range)) is not None
+        ]
+        T, R = len(IOU_THRESHOLDS), len(RECALL_THRESHOLDS)
+        precision = -np.ones((T, R))
+        if not evals:
+            return precision
+        num_gt = sum(e.num_gt for e in evals)
+        if num_gt == 0:
+            return precision
+
+        scores = np.concatenate([e.det_scores for e in evals])
+        order = np.argsort(-scores, kind="mergesort")
+        matched = np.concatenate([e.det_matched for e in evals], axis=1)[:, order]
+        matched_ign = np.concatenate(
+            [e.det_matched_ignore for e in evals], axis=1
+        )[:, order]
+        ign_area = np.concatenate([e.det_ignore_area for e in evals])[order]
+
+        # det is ignored if matched to an ignored GT, or unmatched + out of
+        # area range (pycocotools dtIg)
+        ignored = matched_ign | (~matched & ign_area[None, :])
+        tp = matched & ~ignored
+        fp = ~matched & ~ignored
+
+        tp_cum = np.cumsum(tp, axis=1).astype(np.float64)
+        fp_cum = np.cumsum(fp, axis=1).astype(np.float64)
+        for ti in range(T):
+            rc = tp_cum[ti] / num_gt
+            pr = tp_cum[ti] / np.maximum(tp_cum[ti] + fp_cum[ti], 1e-12)
+            # monotone non-increasing interpolation (right to left)
+            for i in range(len(pr) - 1, 0, -1):
+                pr[i - 1] = max(pr[i - 1], pr[i])
+            # sample at the 101 recall points (first index where rc >= r)
+            idx = np.searchsorted(rc, RECALL_THRESHOLDS, side="left")
+            prec = np.zeros(R)
+            valid = idx < len(pr)
+            prec[valid] = pr[idx[valid]]
+            precision[ti] = prec
+        return precision
+
+    # -------------------------------------------------------------- compute
+
+    def compute(self) -> dict[str, float]:
+        per_class_all = np.full(self.num_classes, -1.0)
+        stats = {k: [] for k in ("all", "small", "medium", "large")}
+        ap50, ap75 = [], []
+        for cls in range(self.num_classes):
+            for range_name, rng in AREA_RANGES.items():
+                p = self._precision_for(cls, rng)
+                valid = p > -1
+                ap = p[valid].mean() if valid.any() else -1.0
+                if range_name == "all":
+                    per_class_all[cls] = ap
+                    if valid.any():
+                        ap50.append(p[0][p[0] > -1].mean())
+                        ap75.append(p[5][p[5] > -1].mean())
+                if ap > -1:
+                    stats[range_name].append(ap)
+
+        def mean_or_neg(vals):
+            return float(np.mean(vals)) if len(vals) else -1.0
+
+        out = {
+            "AP": mean_or_neg(stats["all"]),
+            "AP50": mean_or_neg(ap50),
+            "AP75": mean_or_neg(ap75),
+            "AP-small": mean_or_neg(stats["small"]),
+            "AP-medium": mean_or_neg(stats["medium"]),
+            "AP-large": mean_or_neg(stats["large"]),
+            "per_class": per_class_all,
+        }
+        return out

@@ -1,0 +1,85 @@
+"""Checkpoint / resume (orbax).
+
+Reference behavior reproduced (SURVEY §3.5, detr/train.py:108-115, 222-241,
+285-286):
+  * save the FULL train state every ``checkpoint_epochs`` — params, optimizer
+    state, step counter, RNG key (we additionally save the frozen-BN stats
+    and the epoch/dataset position, which the reference loses);
+  * automatic checkpoint naming with a retention limit (default 3);
+  * restore-latest for crash recovery;
+  * the reference's *weights-only* resume mode (safetensors load + fresh
+    optimizer + scheduler fast-forward, detr/train.py:222-241) is supported
+    via ``restore_params_only`` + the trainer's ``start_epoch`` schedule
+    offset.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    def __init__(self, directory: str, max_to_keep: int = 3):
+        self.directory = os.path.abspath(os.path.join(directory, "checkpoints"))
+        os.makedirs(self.directory, exist_ok=True)
+        self._mgr = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep, create=True
+            ),
+        )
+
+    @staticmethod
+    def _payload(state: Any, extra: Optional[dict] = None) -> dict:
+        # "extra" is always present with a fixed schema so save/restore
+        # templates structurally match.
+        return {
+            "params": state.params,
+            "frozen": state.frozen,
+            "opt_state": state.opt_state,
+            "step": np.asarray(state.step),
+            "rng": np.asarray(state.rng),
+            "extra": {"epoch": int((extra or {}).get("epoch", 0))},
+        }
+
+    def save(self, step: int, state: Any, extra: Optional[dict] = None) -> None:
+        self._mgr.save(step, args=ocp.args.StandardSave(self._payload(state, extra)))
+        self._mgr.wait_until_finished()
+
+    def latest_step(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
+    def restore(self, state: Any, step: Optional[int] = None) -> tuple[Any, dict]:
+        """Full-state restore into the (template) state. Returns (state, extra)."""
+        step = self.latest_step() if step is None else step
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint under {self.directory}")
+        template = self._payload(state)
+        restored = self._mgr.restore(step, args=ocp.args.StandardRestore(template))
+        new_state = state.replace(
+            params=restored["params"],
+            frozen=restored["frozen"],
+            opt_state=restored["opt_state"],
+            step=jax.numpy.asarray(restored["step"]),
+            rng=jax.numpy.asarray(restored["rng"]),
+        )
+        return new_state, restored.get("extra", {})
+
+    def restore_params_only(self, state: Any, step: Optional[int] = None) -> Any:
+        """Weights-only resume (reference detr/train.py:222-236): params (and
+
+        frozen stats) from the checkpoint, optimizer state left fresh."""
+        step = self.latest_step() if step is None else step
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint under {self.directory}")
+        template = self._payload(state)
+        restored = self._mgr.restore(step, args=ocp.args.StandardRestore(template))
+        return state.replace(params=restored["params"], frozen=restored["frozen"])
+
+    def close(self):
+        self._mgr.close()

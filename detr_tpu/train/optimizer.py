@@ -43,13 +43,19 @@ def build_optimizer(
     config: TrainingConfig,
     steps_per_epoch: int,
     *,
+    start_epoch: int = 0,
     norm_mask_fn: Optional[Callable] = None,
 ) -> tuple[optax.GradientTransformation, dict[str, Callable]]:
     """Returns (tx, schedules) where schedules maps group name -> lr schedule
-    (for logging parity with reference train.py:269-275)."""
+    (for logging parity with reference train.py:269-275).
+
+    ``start_epoch`` offsets the schedule like the reference's scheduler
+    fast-forward on weights-only resume (detr/train.py:238-241)."""
+
+    offset = start_epoch * steps_per_epoch
 
     def sched(base_lr):
-        return make_lr_schedule(
+        base = make_lr_schedule(
             base_lr,
             epochs=config.epochs,
             steps_per_epoch=steps_per_epoch,
@@ -60,6 +66,9 @@ def build_optimizer(
             # param group (reference train.py:199) — including the backbone.
             lr_min=config.lr_min,
         )
+        if offset == 0:
+            return base
+        return lambda step: base(step + offset)
 
     schedules = {
         "backbone": sched(config.lr_backbone),

@@ -1,0 +1,166 @@
+"""COCO mAP evaluator tests: hand-computable cases following the COCOeval
+
+protocol (101-pt interpolation, 10 IoU thresholds, crowd/area ignore)."""
+
+import numpy as np
+import pytest
+
+from detr_tpu.eval import CocoEvaluator, DetectionMetrics, PostProcess
+
+
+def single_image_eval(det_boxes, det_scores, det_labels, gt_boxes, gt_labels,
+                      iscrowd=None, num_classes=1):
+    ev = CocoEvaluator(num_classes)
+    ev.add_image(1, np.array(det_boxes, float), np.array(det_scores, float),
+                 np.array(det_labels), np.array(gt_boxes, float),
+                 np.array(gt_labels), None if iscrowd is None else np.array(iscrowd))
+    return ev.compute()
+
+
+def test_perfect_detection():
+    out = single_image_eval(
+        [[10, 10, 50, 50]], [0.9], [0], [[10, 10, 50, 50]], [0]
+    )
+    assert out["AP"] == pytest.approx(1.0)
+    assert out["AP50"] == pytest.approx(1.0)
+    assert out["AP75"] == pytest.approx(1.0)
+
+
+def test_iou_060_matches_three_thresholds():
+    # det vs gt IoU = 0.6 -> TP at t in {0.5, 0.55, 0.6} only
+    out = single_image_eval(
+        [[0, 0, 10, 6]], [0.9], [0], [[0, 0, 10, 10]], [0]
+    )
+    assert out["AP"] == pytest.approx(0.3, abs=1e-6)
+    assert out["AP50"] == pytest.approx(1.0)
+    assert out["AP75"] == pytest.approx(0.0)
+
+
+def test_high_scoring_fp_halves_ap():
+    out = single_image_eval(
+        [[200, 200, 220, 220], [10, 10, 50, 50]],
+        [0.95, 0.9],
+        [0, 0],
+        [[10, 10, 50, 50]],
+        [0],
+    )
+    assert out["AP"] == pytest.approx(0.5, abs=1e-6)
+
+
+def test_partial_recall():
+    # 2 GTs, 1 perfect det -> recall 0.5 at precision 1 -> AP = 51/101
+    out = single_image_eval(
+        [[10, 10, 50, 50]],
+        [0.9],
+        [0],
+        [[10, 10, 50, 50], [100, 100, 140, 140]],
+        [0, 0],
+    )
+    assert out["AP"] == pytest.approx(51 / 101, abs=1e-6)
+
+
+def test_crowd_gt_ignores_matching_det():
+    # det overlapping a crowd GT is neither TP nor FP; the other det is TP
+    out = single_image_eval(
+        [[10, 10, 50, 50], [100, 100, 150, 150]],
+        [0.9, 0.8],
+        [0, 0],
+        [[10, 10, 50, 50], [95, 95, 160, 160]],
+        [0, 0],
+        iscrowd=[False, True],
+    )
+    assert out["AP"] == pytest.approx(1.0)
+
+
+def test_class_without_gt_excluded():
+    ev = CocoEvaluator(2)
+    ev.add_image(
+        1,
+        np.array([[10.0, 10, 50, 50]]),
+        np.array([0.9]),
+        np.array([0]),
+        np.array([[10.0, 10, 50, 50]]),
+        np.array([0]),
+    )
+    out = ev.compute()
+    assert out["AP"] == pytest.approx(1.0)  # class 1 has no GT -> excluded
+    assert out["per_class"][1] == -1.0
+
+
+def test_area_ranges():
+    # one small GT (20x20=400 < 1024), one large GT (200x200)
+    out = single_image_eval(
+        [[0, 0, 20, 20], [300, 300, 500, 500]],
+        [0.9, 0.8],
+        [0, 0],
+        [[0, 0, 20, 20], [300, 300, 500, 500]],
+        [0, 0],
+    )
+    assert out["AP-small"] == pytest.approx(1.0)
+    assert out["AP-large"] == pytest.approx(1.0)
+    assert out["AP-medium"] == -1.0
+
+
+def test_duplicate_detections_second_is_fp():
+    # two dets on the same GT: best-score matches, duplicate is FP
+    out = single_image_eval(
+        [[10, 10, 50, 50], [11, 11, 51, 51]],
+        [0.9, 0.8],
+        [0, 0],
+        [[10, 10, 50, 50]],
+        [0],
+    )
+    # rank1 TP (rc 1, pr 1), rank2 FP -> interp precision still 1 at all recalls
+    assert out["AP50"] == pytest.approx(1.0)
+
+
+def test_multi_image_accumulation():
+    ev = CocoEvaluator(1)
+    ev.add_image(1, np.array([[0.0, 0, 10, 10]]), np.array([0.9]), np.array([0]),
+                 np.array([[0.0, 0, 10, 10]]), np.array([0]))
+    ev.add_image(2, np.zeros((0, 4)), np.zeros(0), np.zeros(0, int),
+                 np.array([[0.0, 0, 10, 10]]), np.array([0]))
+    out = ev.compute()
+    # 2 GTs, 1 TP -> AP = 51/101
+    assert out["AP"] == pytest.approx(51 / 101, abs=1e-6)
+
+
+def test_detection_metrics_wrapper():
+    m = DetectionMetrics(["cat", "dog"])
+    preds = [
+        {
+            "boxes": np.array([[10.0, 10, 50, 50]]),
+            "scores": np.array([0.9]),
+            "labels": np.array([0]),
+        }
+    ]
+    batch = {
+        "image_id": np.array([5]),
+        "boxes": np.array([[[10.0, 10, 50, 50]] + [[0, 0, 0, 0]] * 4]),
+        "class_idx": np.zeros((1, 5), int),
+        "iscrowd": np.zeros((1, 5), bool),
+        "gt_valid": np.array([[True, False, False, False, False]]),
+    }
+    m.update(preds, batch)
+    out = m.compute()
+    assert out["AP"] == pytest.approx(1.0)
+    assert out["AP-per-class/cat"] == pytest.approx(1.0)
+    assert out["AP-per-class/dog"] == 0.0
+    m.reset()
+
+
+def test_postprocess(rng):
+    B, Q, C = 2, 5, 3
+    logits = rng.normal(size=(B, Q, C + 1)).astype(np.float32)
+    boxes = np.tile([0.5, 0.5, 0.2, 0.2], (B, Q, 1)).astype(np.float32)
+    pp = PostProcess(["a", "b", "c"])
+    res = pp(logits, boxes, np.array([100, 200]), np.array([100, 400]))
+    assert len(res) == 2
+    # cxcywh (0.5,0.5,0.2,0.2) on 100x100 -> xyxy (40,40,60,60)
+    np.testing.assert_allclose(res[0]["boxes"][0], [40, 40, 60, 60], atol=1e-4)
+    np.testing.assert_allclose(res[1]["boxes"][0], [160, 80, 240, 120], atol=1e-3)
+    assert (res[0]["labels"] < C).all()  # no-object column excluded
+    # score threshold filters
+    res_t = pp(logits, boxes, np.array([100, 200]), np.array([100, 400]),
+               score_threshold=2.0)
+    assert len(res_t[0]["scores"]) == 0

@@ -1,0 +1,149 @@
+"""End-to-end trainer smoke tests (reference debug-knob style: limit-iters
+
+tiny runs, checkpoint save/restore, weights-only resume — SURVEY §4
+implication (e))."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from detr_tpu.config import DETRConfig, TrainingConfig
+from detr_tpu.train.checkpoint import CheckpointManager
+from detr_tpu.train.trainer import train_DETR
+
+TINY = DETRConfig(
+    num_object_queries=8,
+    num_encoder_layers=1,
+    num_decoder_layers=2,
+    num_attention_heads=2,
+    hidden_size=16,
+    ffn_scale_factor=2,
+    dtype="float32",
+)
+
+
+def tiny_config(tmp_path, **kw):
+    defaults = dict(
+        output_dir=str(tmp_path / "run"),
+        cumulative_train_batch_size=2,
+        train_batch_size=2,
+        val_batch_size=2,
+        epochs=2,
+        lr_warmup_epochs=1,
+        lr_hold_max_epochs=1,
+        limit_train_iters=2,
+        limit_val_iters=1,
+        eval_epochs=1,
+        checkpoint_epochs=1,
+        log_frequency=1,
+        shape_buckets=((64, 64),),
+        max_gt_boxes=8,
+        num_devices=1,
+        donate_state=False,
+    )
+    defaults.update(kw)
+    return TrainingConfig(**defaults)
+
+
+def test_synthetic_smoke_train(tmp_path):
+    config = tiny_config(tmp_path)
+    metrics = train_DETR(config, TINY, synthetic=True)
+    # ran validation and produced the COCO AP family
+    for key in ("AP", "AP50", "AP75", "AP-small", "AP-medium", "AP-large"):
+        assert key in metrics
+    # checkpoints written with retention
+    ckpt_dir = os.path.join(config.output_dir, "checkpoints")
+    assert os.path.isdir(ckpt_dir)
+    assert len(os.listdir(ckpt_dir)) >= 1
+    # tensorboard event files written
+    logs = os.path.join(config.output_dir, "logs")
+    assert any(f.startswith("events") for f in os.listdir(logs))
+
+
+def test_weights_only_resume(tmp_path):
+    config = tiny_config(tmp_path)
+    train_DETR(config, TINY, synthetic=True)
+
+    # resume into a fresh run: weights load, training continues
+    config2 = tiny_config(
+        tmp_path,
+        output_dir=str(tmp_path / "run2"),
+        resume_from_checkpoint=config.output_dir,
+        epochs=1,
+    )
+    metrics = train_DETR(config2, TINY, synthetic=True)
+    assert "AP" in metrics
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    import jax.numpy as jnp
+    import optax
+
+    from detr_tpu.data import synthetic_batch
+    from detr_tpu.models import DETR
+    from detr_tpu.train import create_train_state
+
+    model = DETR(TINY)
+    tx = optax.adam(1e-3)
+    batch = {
+        k: jnp.asarray(v)
+        for k, v in synthetic_batch(
+            np.random.default_rng(0), 2, 64, 64, max_gt=8
+        ).items()
+    }
+    state = create_train_state(model, tx, jax.random.PRNGKey(0), batch)
+    state = state.replace(step=jnp.int32(7))
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), max_to_keep=2)
+    mgr.save(0, jax.device_get(state), extra={"epoch": 0})
+    assert mgr.latest_step() == 0
+
+    # full restore into a zeroed template
+    zeroed = state.replace(
+        params=jax.tree_util.tree_map(lambda x: x * 0, state.params),
+        step=jnp.int32(0),
+    )
+    restored, extra = mgr.restore(zeroed)
+    assert int(restored.step) == 7
+    assert extra.get("epoch") == 0
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state.params),
+        jax.tree_util.tree_leaves(restored.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # weights-only restore leaves opt_state/step fresh
+    w_only = mgr.restore_params_only(zeroed)
+    assert int(w_only.step) == 0
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree_util.tree_leaves(w_only.params)[0]),
+        np.asarray(jax.tree_util.tree_leaves(state.params)[0]),
+    )
+    mgr.close()
+
+
+def test_checkpoint_retention(tmp_path):
+    import jax.numpy as jnp
+    import optax
+
+    from detr_tpu.data import synthetic_batch
+    from detr_tpu.models import DETR
+    from detr_tpu.train import create_train_state
+
+    model = DETR(TINY)
+    batch = {
+        k: jnp.asarray(v)
+        for k, v in synthetic_batch(
+            np.random.default_rng(0), 1, 64, 64, max_gt=4
+        ).items()
+    }
+    state = create_train_state(model, optax.sgd(0.1), jax.random.PRNGKey(0), batch)
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), max_to_keep=2)
+    for e in range(4):
+        mgr.save(e, jax.device_get(state))
+    assert mgr.latest_step() == 3
+    steps = sorted(int(d) for d in os.listdir(mgr.directory) if d.isdigit())
+    assert len(steps) <= 2  # retention limit (reference total_limit=3 scheme)
+    mgr.close()
