@@ -139,6 +139,20 @@ def train_DETR(
         config.train_batch_size,
     )
 
+    # Pretrained backbone (torchvision ImageNet weights converted offline by
+    # detr_tpu/models/convert.py — reference detr/model.py:432).
+    if detr_config.backbone_weights:
+        from detr_tpu.models.convert import apply_backbone_weights, load_backbone_npz
+
+        bp, bf = load_backbone_npz(detr_config.backbone_weights)
+        new_vars = apply_backbone_weights(
+            {"params": state.params, "frozen": state.frozen}, bp, bf
+        )
+        state = state.replace(
+            params=new_vars["params"], frozen=new_vars["frozen"]
+        )
+        logger.info("loaded backbone weights from %s", detr_config.backbone_weights)
+
     # Resume: weights-only from an explicit checkpoint dir (reference
     # detr/train.py:222-241) or full-state from our own output dir.
     if config.resume_from_checkpoint:
