@@ -165,6 +165,10 @@ class TrainingConfig:
     global_loss_normalizer: bool = True
     # Donate the train-state buffers to the jitted step (halves HBM).
     donate_state: bool = True
+    # Final epsilon for the on-device auction matcher during training
+    # (looser than the 1e-4 parity default: ~25% fewer solver rounds; the
+    # matching slack bound 2*eps*G is negligible vs loss magnitudes).
+    matcher_eps_min: float = 1e-3
 
     @property
     def gradient_accumulation_steps(self) -> int:

@@ -87,7 +87,10 @@ def _use_pallas_default() -> bool:
     return plat in ("tpu", "axon")
 
 
-@partial(jax.jit, static_argnames=("cost_class", "cost_bbox", "cost_giou", "impl"))
+@partial(
+    jax.jit,
+    static_argnames=("cost_class", "cost_bbox", "cost_giou", "impl", "eps_min"),
+)
 def match_batch(
     pred_logits: Array,
     pred_boxes: Array,
@@ -98,6 +101,7 @@ def match_batch(
     cost_bbox: float = 5.0,
     cost_giou: float = 2.0,
     impl: str = "auto",
+    eps_min: float = 1e-4,
 ) -> Array:
     """Batched cost + solve over arbitrary leading batch dims.
 
@@ -137,9 +141,9 @@ def match_batch(
     if impl == "pallas":
         from detr_tpu.matcher.pallas_auction import pallas_auction_lap
 
-        qog, _ = pallas_auction_lap(costs, gv)
+        qog, _ = pallas_auction_lap(costs, gv, eps_min=eps_min)
     elif impl == "xla":
-        qog = jax.vmap(lambda c, v: auction_lap(c, v)[0])(costs, gv)
+        qog = jax.vmap(lambda c, v: auction_lap(c, v, eps_min=eps_min)[0])(costs, gv)
     else:
         raise ValueError(f"unknown matcher impl: {impl!r}")
     return jax.lax.stop_gradient(qog.reshape(batch_shape + (G,)))
@@ -147,11 +151,18 @@ def match_batch(
 
 @dataclass(frozen=True)
 class HungarianMatcher:
-    """Configured matcher (reference detr/matcher.py:25-38 constructor)."""
+    """Configured matcher (reference detr/matcher.py:25-38 constructor).
+
+    ``eps_min`` is the auction's final epsilon: total assignment cost is
+    within 2 * eps_min per GT of optimal.  1e-4 gives scipy-level parity;
+    the trainer uses a looser value (TrainingConfig.matcher_eps_min) since
+    training is insensitive to 1e-3-scale matching slack and it cuts
+    ~25% of solver rounds."""
 
     cost_class: float = 1.0
     cost_bbox: float = 5.0
     cost_giou: float = 2.0
+    eps_min: float = 1e-4
 
     def __post_init__(self):
         assert (
@@ -168,6 +179,7 @@ class HungarianMatcher:
             cost_class=self.cost_class,
             cost_bbox=self.cost_bbox,
             cost_giou=self.cost_giou,
+            eps_min=self.eps_min,
         )
 
 

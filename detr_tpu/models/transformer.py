@@ -83,16 +83,30 @@ class MultiHeadAttention(nn.Module):
         if attn_drop > 0.0 and not deterministic:
             dropout_rng = self.make_rng("dropout")
 
-        out = scaled_dot_product_attention(
-            q,
-            k,
-            v,
-            key_padding_mask=key_padding_mask,
-            attention_mask=attention_mask,
-            dropout_rate=attn_drop,
-            dropout_rng=dropout_rng,
-            deterministic=deterministic,
-        ).reshape(B, L, cfg.hidden_size)
+        # Fused Pallas path: deterministic attention without an (L, S) mask
+        # (the dropout train path needs fwd/bwd RNG agreement — XLA handles
+        # it; see detr_tpu/ops/pallas_attention.py).
+        use_pallas = (
+            cfg.use_pallas_attention
+            and attention_mask is None
+            and (deterministic or attn_drop == 0.0)
+        )
+        if use_pallas:
+            from detr_tpu.ops.pallas_attention import pallas_masked_attention
+
+            out = pallas_masked_attention(q, k, v, key_padding_mask)
+        else:
+            out = scaled_dot_product_attention(
+                q,
+                k,
+                v,
+                key_padding_mask=key_padding_mask,
+                attention_mask=attention_mask,
+                dropout_rate=attn_drop,
+                dropout_rng=dropout_rng,
+                deterministic=deterministic,
+            )
+        out = out.reshape(B, L, cfg.hidden_size)
 
         out = dense("output_proj")(out)
         out = nn.Dropout(rate=cfg.hidden_dropout_prob)(

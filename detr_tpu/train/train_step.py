@@ -77,6 +77,7 @@ def build_criterion(train_config: TrainingConfig, detr_config: DETRConfig) -> Se
         cost_class=train_config.set_cost_class,
         cost_bbox=train_config.set_cost_bbox,
         cost_giou=train_config.set_cost_giou,
+        eps_min=train_config.matcher_eps_min,
     )
     return SetCriterion(
         num_classes=detr_config.num_classes,

@@ -51,6 +51,7 @@ from detr_tpu.train.train_step import (
     make_train_step,
 )
 from detr_tpu.utils.logging import MetricLogger
+from detr_tpu.utils.profiling import StepTimer, trace
 from detr_tpu.viz import plot_grid
 
 logger = logging.getLogger(__name__)
@@ -166,6 +167,7 @@ def train_DETR(
 
     global_step = 0
     val_metrics: dict = {}
+    timer = StepTimer(config.train_batch_size)
     for epoch in range(config.start_epoch, config.epochs):
         epoch_t0 = time.time()
         for step_i, batch in enumerate(train_loader):
@@ -177,9 +179,11 @@ def train_DETR(
             batch = shard_batch(batch, mesh)
             state, metrics = train_step(state, batch)
 
+            perf = timer.tick()
             if step_i % config.log_frequency == 0:
                 host = {k: float(v) for k, v in metrics.items()}
                 lr_scalars = {
+                    **perf,
                     "lr/backbone": float(schedules["backbone"](global_step)),
                     "lr/transformer": float(schedules["rest"](global_step)),
                     "loss/total/train": host["loss"],
