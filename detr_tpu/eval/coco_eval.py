@@ -139,30 +139,40 @@ class CocoEvaluator:
         ious = _iou_matrix(db, gb, gc)
         T = len(IOU_THRESHOLDS)
         D, G = len(db), len(gb)
-        det_matched = np.zeros((T, D), bool)
-        det_matched_ignore = np.zeros((T, D), bool)
 
-        for ti, t in enumerate(IOU_THRESHOLDS):
-            gt_taken = np.zeros(G, bool)
-            for d in range(D):
-                best_iou = min(t, 1 - 1e-10)
-                best_g = -1
-                for g in range(G):
-                    if gt_taken[g] and not gc[g]:
-                        continue  # taken non-crowd GT can't rematch
-                    # if we already hold a real GT and remaining are ignored,
-                    # stop (gts are sorted real-first)
-                    if best_g > -1 and not g_ignore[best_g] and g_ignore[g]:
-                        break
-                    if ious[d, g] < best_iou:
+        # Native C++ inner loop when the toolchain is available
+        # (native/cocoeval.cc — the pycocotools-C-kernel equivalent).
+        native = None
+        if D and G:
+            from detr_tpu.eval import _native
+
+            native = _native.match_detections(ious, gc, g_ignore, IOU_THRESHOLDS)
+        if native is not None:
+            det_matched, det_matched_ignore = native
+        else:
+            det_matched = np.zeros((T, D), bool)
+            det_matched_ignore = np.zeros((T, D), bool)
+            for ti, t in enumerate(IOU_THRESHOLDS):
+                gt_taken = np.zeros(G, bool)
+                for d in range(D):
+                    best_iou = min(t, 1 - 1e-10)
+                    best_g = -1
+                    for g in range(G):
+                        if gt_taken[g] and not gc[g]:
+                            continue  # taken non-crowd GT can't rematch
+                        # holding a real GT and remaining are ignored -> stop
+                        # (gts are sorted real-first)
+                        if best_g > -1 and not g_ignore[best_g] and g_ignore[g]:
+                            break
+                        if ious[d, g] < best_iou:
+                            continue
+                        best_iou = ious[d, g]
+                        best_g = g
+                    if best_g == -1:
                         continue
-                    best_iou = ious[d, g]
-                    best_g = g
-                if best_g == -1:
-                    continue
-                det_matched[ti, d] = True
-                det_matched_ignore[ti, d] = g_ignore[best_g]
-                gt_taken[best_g] = True
+                    det_matched[ti, d] = True
+                    det_matched_ignore[ti, d] = g_ignore[best_g]
+                    gt_taken[best_g] = True
 
         d_area = _box_area(db)
         det_ignore_area = (d_area < lo) | (d_area > hi)

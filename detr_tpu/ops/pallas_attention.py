@@ -42,6 +42,14 @@ Array = jax.Array
 _DEF_BQ = 128
 
 
+def _interpret() -> bool:
+    """Interpreter mode on non-TPU backends (CPU tests)."""
+    try:
+        return jax.default_backend() not in ("tpu", "axon")
+    except Exception:
+        return True
+
+
 def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale: float):
     # q (1, BQ, D); k/v (1, S, D); mask (1, 1, S) int32 (1 = padded)
     # Matmul inputs stay in their native (bf16) dtype — the MXU takes bf16
@@ -119,6 +127,7 @@ def _flash_forward(
             (1, block_q, D), lambda bh, qi: (bh, qi, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((B * H, Lq_pad, D), q.dtype),
+        interpret=_interpret(),
     )(qf, kf, vf, maskf)
 
     out = out[:, :Lq].reshape(B, H, Lq, D)

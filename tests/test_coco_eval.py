@@ -164,3 +164,56 @@ def test_postprocess(rng):
     res_t = pp(logits, boxes, np.array([100, 200]), np.array([100, 400]),
                score_threshold=2.0)
     assert len(res_t[0]["scores"]) == 0
+
+
+def test_native_kernel_matches_numpy(rng):
+    """The C++ matching kernel (native/cocoeval.cc) agrees with the numpy
+
+    fallback on random inputs (skipped when no C++ toolchain)."""
+    from detr_tpu.eval import _native
+
+    if _native.load() is None:
+        pytest.skip("no C++ toolchain")
+
+    from detr_tpu.eval.coco_eval import IOU_THRESHOLDS, _iou_matrix
+
+    for trial in range(20):
+        D, G = int(rng.integers(0, 12)) + 1, int(rng.integers(1, 8))
+        dets = np.sort(rng.uniform(0, 100, (D, 2, 2)), axis=1).reshape(D, 4)[:, [0, 2, 1, 3]]
+        gts = np.sort(rng.uniform(0, 100, (G, 2, 2)), axis=1).reshape(G, 4)[:, [0, 2, 1, 3]]
+        crowd = rng.random(G) < 0.3
+        ignore = crowd | (rng.random(G) < 0.2)
+        # sort real-first like the evaluator
+        order = np.argsort(ignore, kind="mergesort")
+        gts, crowd, ignore = gts[order], crowd[order], ignore[order]
+
+        ious = _iou_matrix(dets, gts, crowd)
+        n_ious = _native.iou_matrix(dets, gts, crowd)
+        np.testing.assert_allclose(n_ious, ious, atol=1e-12)
+
+        m_nat, mi_nat = _native.match_detections(ious, crowd, ignore, IOU_THRESHOLDS)
+
+        # numpy reference (mirrors coco_eval fallback)
+        T, Dn, Gn = len(IOU_THRESHOLDS), D, G
+        m_ref = np.zeros((T, Dn), bool)
+        mi_ref = np.zeros((T, Dn), bool)
+        for ti, t in enumerate(IOU_THRESHOLDS):
+            taken = np.zeros(Gn, bool)
+            for d in range(Dn):
+                best_iou = min(t, 1 - 1e-10)
+                best_g = -1
+                for g in range(Gn):
+                    if taken[g] and not crowd[g]:
+                        continue
+                    if best_g > -1 and not ignore[best_g] and ignore[g]:
+                        break
+                    if ious[d, g] < best_iou:
+                        continue
+                    best_iou = ious[d, g]
+                    best_g = g
+                if best_g >= 0:
+                    m_ref[ti, d] = True
+                    mi_ref[ti, d] = ignore[best_g]
+                    taken[best_g] = True
+        np.testing.assert_array_equal(m_nat, m_ref)
+        np.testing.assert_array_equal(mi_nat, mi_ref)
