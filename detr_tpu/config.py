@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import dataclasses
 from dataclasses import dataclass, field
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 
 @dataclass
@@ -54,6 +54,10 @@ class DETRConfig:
     # Load pretrained backbone weights from this .npz (converted from
     # torchvision via models/convert.py); None → random init.
     backbone_weights: Optional[str] = None
+    # Rematerialize encoder/decoder layers in the backward pass
+    # (jax.checkpoint): trades ~30% extra FLOPs for O(num_layers) less
+    # activation HBM — lets bigger batches/DC5 fit on one chip.
+    remat: bool = False
 
     @property
     def head_size(self) -> int:

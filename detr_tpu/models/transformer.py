@@ -217,8 +217,13 @@ class Encoder(nn.Module):
         key_padding_mask: Array,
         deterministic: bool = True,
     ) -> Array:
+        layer_cls = (
+            nn.remat(EncoderLayer, static_argnums=(4,))
+            if self.config.remat
+            else EncoderLayer
+        )
         for i in range(self.config.num_encoder_layers):
-            x = EncoderLayer(self.config, name=f"layer{i}")(
+            x = layer_cls(self.config, name=f"layer{i}")(
                 x, position_embedding, key_padding_mask, deterministic
             )
         return _layer_norm(self.config, "norm")(x).astype(jnp.dtype(self.config.dtype))
@@ -282,9 +287,12 @@ class Decoder(nn.Module):
         cfg = self.config
         x = jnp.zeros_like(object_query_embedding).astype(jnp.dtype(cfg.dtype))
         norm = _layer_norm(cfg, "norm")
+        layer_cls = (
+            nn.remat(DecoderLayer, static_argnums=(6,)) if cfg.remat else DecoderLayer
+        )
         outputs = []
         for i in range(cfg.num_decoder_layers):
-            x = DecoderLayer(cfg, name=f"layer{i}")(
+            x = layer_cls(cfg, name=f"layer{i}")(
                 x,
                 encoded_image_tokens,
                 object_query_embedding,

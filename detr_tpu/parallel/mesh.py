@@ -14,7 +14,7 @@ driver's multi-chip dry run exercises it on a virtual CPU mesh
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import numpy as np

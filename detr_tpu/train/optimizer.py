@@ -24,7 +24,6 @@ from __future__ import annotations
 
 from typing import Callable, Optional
 
-import jax
 import optax
 
 from detr_tpu.config import TrainingConfig

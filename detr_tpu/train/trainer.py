@@ -51,7 +51,7 @@ from detr_tpu.train.train_step import (
     make_train_step,
 )
 from detr_tpu.utils.logging import MetricLogger
-from detr_tpu.utils.profiling import StepTimer, trace
+from detr_tpu.utils.profiling import StepTimer
 from detr_tpu.viz import plot_grid
 
 logger = logging.getLogger(__name__)

@@ -160,3 +160,28 @@ def test_resnet_dc5_stride():
         jnp.zeros((1, 64, 64, 3)),
     )
     assert feats.shape == (1, 4, 4, 2048)
+
+
+def test_remat_matches_plain(rng):
+    """jax.checkpoint'ed layers give identical outputs and gradients."""
+    import jax.numpy as jnp
+
+    cfg_plain = TINY
+    cfg_remat = TINY.replace(remat=True)
+    images = jnp.asarray(rng.normal(size=(1, 64, 64, 3)).astype(np.float32))
+    h = jnp.array([64])
+    w = jnp.array([64])
+
+    m1, m2 = DETR(cfg_plain), DETR(cfg_remat)
+    variables = m1.init(jax.random.PRNGKey(0), images, h, w)
+
+    def loss(m, v, img):
+        out = m.apply(v, img, h, w)
+        return jnp.sum(out["pred_logits"] ** 2)
+
+    l1 = jax.value_and_grad(lambda img: loss(m1, variables, img))(images)
+    l2 = jax.value_and_grad(lambda img: loss(m2, variables, img))(images)
+    np.testing.assert_allclose(float(l1[0]), float(l2[0]), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(l1[1]), np.asarray(l2[1]), atol=1e-5
+    )
