@@ -154,21 +154,35 @@ def train_DETR(
         )
         logger.info("loaded backbone weights from %s", detr_config.backbone_weights)
 
-    # Resume: weights-only from an explicit checkpoint dir (reference
-    # detr/train.py:222-241) or full-state from our own output dir.
+    # Resume paths:
+    #   * explicit checkpoint dir -> weights-only (reference
+    #     detr/train.py:222-241: fresh optimizer, schedule fast-forwarded
+    #     via --start-epoch);
+    #   * our own output dir already has checkpoints -> full-state
+    #     auto-restore (crash/elastic recovery, SURVEY §5: params, optimizer,
+    #     step, RNG, epoch — the reference loses optimizer state here).
+    first_epoch = config.start_epoch
     if config.resume_from_checkpoint:
         src = CheckpointManager(config.resume_from_checkpoint)
         state = src.restore_params_only(state)
         logger.info("loaded model weights from %s", config.resume_from_checkpoint)
+    elif ckpt.latest_step() is not None:
+        state, extra = ckpt.restore(state)
+        first_epoch = int(extra.get("epoch", -1)) + 1
+        logger.info(
+            "auto-restored checkpoint at epoch %d; resuming from epoch %d",
+            first_epoch - 1,
+            first_epoch,
+        )
 
     state = shard_state(state, mesh)
     train_step = make_train_step(model, criterion, donate=config.donate_state)
     eval_step = make_eval_step(model, criterion)
 
-    global_step = 0
+    global_step = int(jax.device_get(state.step))
     val_metrics: dict = {}
     timer = StepTimer(config.train_batch_size)
-    for epoch in range(config.start_epoch, config.epochs):
+    for epoch in range(first_epoch, config.epochs):
         epoch_t0 = time.time()
         for step_i, batch in enumerate(train_loader):
             if config.limit_train_iters > 0 and step_i >= config.limit_train_iters:
@@ -353,6 +367,11 @@ def get_args() -> argparse.Namespace:
     parser.add_argument(
         "--synthetic", action="store_true", help="train on synthetic data (smoke)"
     )
+    parser.add_argument(
+        "--tiny",
+        action="store_true",
+        help="tiny model + 64x64 buckets (CI/CPU smoke runs)",
+    )
     return parser.parse_args()
 
 
@@ -375,6 +394,21 @@ def main() -> int:
         num_devices=args.num_devices,
     )
     detr_config = DETRConfig(backbone=args.backbone)
+    if args.tiny:
+        detr_config = detr_config.replace(
+            num_object_queries=8,
+            num_encoder_layers=1,
+            num_decoder_layers=2,
+            num_attention_heads=2,
+            hidden_size=16,
+            ffn_scale_factor=2,
+            dtype="float32",
+        )
+        config = config.replace(
+            shape_buckets=((64, 64),),
+            max_gt_boxes=8,
+            cumulative_train_batch_size=config.train_batch_size,
+        )
     train_DETR(config, detr_config, synthetic=args.synthetic)
     return 0
 

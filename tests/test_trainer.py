@@ -147,3 +147,19 @@ def test_checkpoint_retention(tmp_path):
     steps = sorted(int(d) for d in os.listdir(mgr.directory) if d.isdigit())
     assert len(steps) <= 2  # retention limit (reference total_limit=3 scheme)
     mgr.close()
+
+
+def test_crash_recovery_auto_restore(tmp_path):
+    """Re-running train_DETR on an output dir with checkpoints resumes from
+
+    the last completed epoch with full state (SURVEY §5 elastic recovery)."""
+    config = tiny_config(tmp_path, epochs=2)
+    train_DETR(config, TINY, synthetic=True)
+
+    # "crash": rerun with more epochs on the same output dir
+    config2 = tiny_config(tmp_path, epochs=3)
+    metrics = train_DETR(config2, TINY, synthetic=True)
+    assert "AP" in metrics
+    ckpt_dir = os.path.join(config.output_dir, "checkpoints")
+    steps = sorted(int(d) for d in os.listdir(ckpt_dir) if d.isdigit())
+    assert steps[-1] == 2  # epoch 2 checkpoint written by the resumed run
