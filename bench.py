@@ -49,7 +49,7 @@ def main() -> None:
 
     model = DETR(detr_config)
     criterion = build_criterion(train_config, detr_config)
-    tx, _ = build_optimizer(train_config, steps_per_epoch=1000)
+    tx, _ = build_optimizer(train_config)
 
     def make_batch(seed):
         return {

@@ -90,7 +90,6 @@ class TrainingConfig:
     """
 
     output_dir: str = "runs/detr"
-    overwrite_output_dir: bool = True
     start_epoch: int = 0
     resume_from_checkpoint: Optional[str] = None
 
@@ -115,23 +114,35 @@ class TrainingConfig:
     lr_min: float = 3e-6
 
     weight_decay: float = 1e-4
-    # Declared by the reference (train.py:68) but never wired into the
-    # optimizer there; we honor it: weight decay applied to LayerNorm /
-    # FrozenBN-adjacent scale+bias params. 0.0 keeps the official behavior.
-    norm_weight_decay: float = 0.0
+    # Declared by the reference (train.py:68) but never wired into its
+    # optimizer. None (default) reproduces that: every param decays at
+    # ``weight_decay``. Setting a float actually applies that rate to
+    # LayerNorm params instead (see train/optimizer.py).
+    norm_weight_decay: Optional[float] = None
     gradient_max_norm: float = 1.0
 
+    # "bf16" (reference train.py:75 autocast equivalent: fp32 params, bf16
+    # compute with fp32 islands) or "no" (fp32 everywhere). The trainer maps
+    # this onto DETRConfig.dtype.
     mixed_precision: str = "bf16"  # "bf16" | "no"
 
     checkpoint_total_limit: int = 3
     checkpoint_epochs: int = 1
+    # Log GT/prediction image grids only on eval epochs that are multiples of
+    # this (the reference declares it at train.py:79 but never reads it).
     save_image_epochs: int = 1
+    # Declared by the reference (train.py:33) and dead there too — checkpoints
+    # are written into output_dir unconditionally; kept for config parity.
+    overwrite_output_dir: bool = True
     seed: int = 0
     log_frequency: int = 100
 
     num_workers: int = 2
 
     # eval
+    # Declared by the reference (train.py:86-87) and dead there too (its
+    # SanitizeBoundingBoxes runs on torchvision defaults); kept for config
+    # parity only.
     box_min_size: float = 5.0
     box_min_area: float = 50.0
     eval_epochs: int = 10
@@ -158,8 +169,9 @@ class TrainingConfig:
         (512, 1024),
         (1024, 512),
     )
-    # Eval runs at one fixed shape (shortest side 800, max side 1333, both
-    # rounded up to /32 — reference val transform detr/data.py:66-83).
+    # Eval compiles for this fixed shape plus its transpose (portrait images
+    # keep full resolution); shortest side 800, max side 1333 rounded to /32
+    # — reference val transform detr/data.py:66-83.
     eval_shape: Tuple[int, int] = (800, 1344)
     # Maximum number of GT boxes per image after padding (COCO max is 93;
     # boxes beyond this are dropped with a warning).

@@ -70,7 +70,12 @@ class BucketedLoader:
         self.epoch = 0
 
     def __len__(self) -> int:
-        # Approximate (bucket remainders make the true count data-dependent).
+        # Upper bound: with drop_last, up to batch_size-1 items per bucket are
+        # dropped each epoch, so the true count is data-dependent (and, with
+        # random multi-scale transforms, varies per epoch) within
+        # [len - n_buckets, len].  Nothing load-bearing consumes this — the LR
+        # schedule is epoch-indexed and injected per epoch by the trainer
+        # (train/optimizer.py), not derived from a step count.
         return len(self.dataset) // self.batch_size
 
     def _indices(self) -> np.ndarray:
@@ -150,6 +155,7 @@ class BucketedLoader:
                     pools[bucket_id], self.buckets[bucket_id], self.max_gt
                 )
                 batch["pad_count"] = np.int32(0)
+                batch["image_valid"] = np.ones(self.batch_size, bool)
                 pools[bucket_id] = []
                 yield batch
         if not self.drop_last:
@@ -162,17 +168,37 @@ class BucketedLoader:
                     items, self.buckets[bucket_id], self.max_gt
                 )
                 batch["pad_count"] = np.int32(pad)
+                # Padded (repeated) images are excluded from the loss by the
+                # criterion and from detections by the metrics adapter.
+                image_valid = np.ones(self.batch_size, bool)
+                if pad:
+                    image_valid[-pad:] = False
+                batch["image_valid"] = image_valid
                 yield batch
 
 
-def make_eval_loader(dataset, batch_size: int, max_gt: int = 100, num_workers: int = 2):
-    """Single fixed eval shape (reference val transform: 800/1333 ->
+def make_eval_loader(
+    dataset,
+    batch_size: int,
+    max_gt: int = 100,
+    num_workers: int = 2,
+    shape: tuple[int, int] | None = None,
+):
+    """Fixed eval shape(s) (reference val transform: 800/1333 -> padded to
 
-    padded to (800, 1344), detr/data.py:66-83 + collate /32 rounding)."""
+    (800, 1344), detr/data.py:66-83 + collate /32 rounding).  ``shape`` is the
+    landscape (H, W) to compile for (``TrainingConfig.eval_shape``); its
+    transpose is added so portrait images are not downscaled.  None keeps the
+    default eval buckets."""
+    if shape is None:
+        buckets = EVAL_BUCKETS
+    else:
+        h, w = tuple(shape)
+        buckets = ((h, w),) if h == w else ((h, w), (w, h))
     return BucketedLoader(
         dataset,
         batch_size,
-        buckets=EVAL_BUCKETS,
+        buckets=buckets,
         max_gt=max_gt,
         shuffle=False,
         drop_last=False,

@@ -115,7 +115,11 @@ class CocoEvaluator:
 
     # ------------------------------------------------------------- matching
 
-    def _evaluate_image(self, image_id, cls, area_range) -> _ImageEval | None:
+    def _image_class_data(self, image_id, cls) -> dict | None:
+        """Range-independent work, done ONCE per (image, class) and reused by
+        all four area ranges (pycocotools computes IoU once per (img, cat)
+        too): det/GT selection, score sort + maxDets cap, areas, and the IoU
+        matrix (in base GT order — per-range matching permutes its columns)."""
         db, ds, dl = self._dets[image_id]
         gb, gl, gc = self._gts[image_id]
         dsel = dl == cls
@@ -125,20 +129,30 @@ class CocoEvaluator:
         db, ds = db[dsel], ds[dsel]
         gb, gc = gb[gsel], gc[gsel]
 
-        lo, hi = area_range
-        g_area = _box_area(gb)
-        g_ignore = gc | (g_area < lo) | (g_area > hi)
-
         # sort dets by score desc, cap maxDets
         order = np.argsort(-ds, kind="mergesort")[:MAX_DETS]
         db, ds = db[order], ds[order]
-        # sort gts: non-ignored first (pycocotools gtind ordering)
-        g_order = np.argsort(g_ignore, kind="mergesort")
-        gb, gc, g_ignore = gb[g_order], gc[g_order], g_ignore[g_order]
+        return {
+            "ds": ds,
+            "gc": gc,
+            "ious": _iou_matrix(db, gb, gc),
+            "d_area": _box_area(db),
+            "g_area": _box_area(gb),
+        }
 
-        ious = _iou_matrix(db, gb, gc)
+    def _evaluate_image(self, data: dict, area_range) -> _ImageEval:
+        """Per-area-range matching on top of cached (image, class) data."""
+        ds, gc = data["ds"], data["gc"]
+        lo, hi = area_range
+        g_ignore = gc | (data["g_area"] < lo) | (data["g_area"] > hi)
+
+        # sort gts: non-ignored first (pycocotools gtind ordering); permute
+        # the cached IoU columns to match.
+        g_order = np.argsort(g_ignore, kind="mergesort")
+        gc, g_ignore = gc[g_order], g_ignore[g_order]
+        ious = data["ious"][:, g_order]
         T = len(IOU_THRESHOLDS)
-        D, G = len(db), len(gb)
+        D, G = ious.shape
 
         # Native C++ inner loop when the toolchain is available
         # (native/cocoeval.cc — the pycocotools-C-kernel equivalent).
@@ -174,7 +188,7 @@ class CocoEvaluator:
                     det_matched_ignore[ti, d] = g_ignore[best_g]
                     gt_taken[best_g] = True
 
-        d_area = _box_area(db)
+        d_area = data["d_area"]
         det_ignore_area = (d_area < lo) | (d_area > hi)
         return _ImageEval(
             det_scores=ds,
@@ -186,13 +200,11 @@ class CocoEvaluator:
 
     # ----------------------------------------------------------- accumulate
 
-    def _precision_for(self, cls, area_range) -> np.ndarray:
-        """(T, R) interpolated precision, or -1 where the class has no GT."""
-        evals = [
-            e
-            for img in self._image_ids
-            if (e := self._evaluate_image(img, cls, area_range)) is not None
-        ]
+    def _precision_for(self, class_data: list, area_range) -> np.ndarray:
+        """(T, R) interpolated precision, or -1 where the class has no GT.
+
+        ``class_data`` is the per-image cache from ``_image_class_data``."""
+        evals = [self._evaluate_image(d, area_range) for d in class_data]
         T, R = len(IOU_THRESHOLDS), len(RECALL_THRESHOLDS)
         precision = -np.ones((T, R))
         if not evals:
@@ -238,8 +250,13 @@ class CocoEvaluator:
         stats = {k: [] for k in ("all", "small", "medium", "large")}
         ap50, ap75 = [], []
         for cls in range(self.num_classes):
+            class_data = [
+                d
+                for img in self._image_ids
+                if (d := self._image_class_data(img, cls)) is not None
+            ]
             for range_name, rng in AREA_RANGES.items():
-                p = self._precision_for(cls, rng)
+                p = self._precision_for(class_data, rng)
                 valid = p > -1
                 ap = p[valid].mean() if valid.any() else -1.0
                 if range_name == "all":

@@ -75,7 +75,10 @@ class SetCriterion:
             — stacked over decoder layers like the reference model output
             (reference detr/model.py:92-94).
           targets: {"class_idx": (B, G) int, "boxes_normalized": (B, G, 4)
-            fp32 XYXY in [0, 1], "gt_valid": (B, G) bool}.
+            fp32 XYXY in [0, 1], "gt_valid": (B, G) bool, optional
+            "image_valid": (B,) bool — False rows are loader padding (the
+            repeated items that fill the final short eval batch) and are
+            excluded from every loss term}.
           axis_name: optional mesh axis to psum the box normalizer over
             (shard_map usage only; under plain jit reductions are global).
 
@@ -88,6 +91,12 @@ class SetCriterion:
         class_idx = targets["class_idx"].astype(jnp.int32)  # (B, G)
         gt_boxes = targets["boxes_normalized"].astype(jnp.float32)  # (B, G, 4)
         gt_valid = targets["gt_valid"].astype(bool)  # (B, G)
+        image_valid = targets.get("image_valid")
+        if image_valid is None:
+            image_valid = jnp.ones((B,), bool)
+        else:
+            image_valid = image_valid.astype(bool)  # (B,)
+        gt_valid = gt_valid & image_valid[:, None]
         G = class_idx.shape[-1]
 
         # One matcher invocation for all layers (vmapped inside).
@@ -107,7 +116,7 @@ class SetCriterion:
 
         per_layer = jax.vmap(
             lambda lg, bx, q: self._layer_losses(
-                lg, bx, q, class_idx, gt_boxes, gt_valid, num_boxes
+                lg, bx, q, class_idx, gt_boxes, gt_valid, num_boxes, image_valid
             ),
             in_axes=(1, 1, 1),
         )(logits, boxes, qog)
@@ -125,7 +134,9 @@ class SetCriterion:
 
     # ----- single-layer losses (B, Q, *) -> scalars -----
 
-    def _layer_losses(self, logits, boxes, qog, class_idx, gt_boxes, gt_valid, num_boxes):
+    def _layer_losses(
+        self, logits, boxes, qog, class_idx, gt_boxes, gt_valid, num_boxes, image_valid
+    ):
         B, Q, C1 = logits.shape
         G = class_idx.shape[-1]
         no_object = self.num_classes
@@ -144,14 +155,18 @@ class SetCriterion:
         class_weight = jnp.ones((C1,), jnp.float32).at[no_object].set(self.eos_coef)
         logp = jax.nn.log_softmax(logits, axis=-1)
         nll = -jnp.take_along_axis(logp, target_classes[..., None], axis=-1)[..., 0]
-        w = class_weight[target_classes]
+        w = class_weight[target_classes] * image_valid[:, None].astype(jnp.float32)
         loss_ce = self.weight_label_ce * jnp.sum(w * nll) / jnp.sum(w)
 
-        # Cardinality error (reference detr/loss.py:97-121).
+        # Cardinality error (reference detr/loss.py:97-121), mean over the
+        # non-padded images only.
         pred_class = jnp.argmax(logits, axis=-1)
         card_pred = jnp.sum((pred_class != no_object).astype(jnp.float32), axis=1)
         n_gt = jnp.sum(gt_valid.astype(jnp.float32), axis=1)
-        cardinality = jnp.mean(jnp.abs(card_pred - n_gt))
+        img_w = image_valid.astype(jnp.float32)
+        cardinality = jnp.sum(img_w * jnp.abs(card_pred - n_gt)) / jnp.maximum(
+            jnp.sum(img_w), 1.0
+        )
 
         # Box losses over matched pairs (reference detr/loss.py:123-164).
         pair_valid = gt_valid & (qog >= 0)

@@ -71,7 +71,44 @@ def make_image_padding_mask(
 class DETR(nn.Module):
     config: DETRConfig
 
-    @nn.compact
+    def setup(self):
+        cfg = self.config
+        self.backbone = ResNetBackbone(
+            backbone=cfg.backbone,
+            dilation=cfg.dilation,
+            dtype=cfg.dtype,
+        )
+        # 1x1 conv projection == Dense over the channel axis.
+        self.input_proj = nn.Dense(
+            cfg.hidden_size,
+            dtype=jnp.dtype(cfg.dtype),
+            param_dtype=jnp.float32,
+            kernel_init=nn.initializers.xavier_uniform(),
+            bias_init=nn.initializers.zeros,
+        )
+        self.object_query_embedding = self.param(
+            "object_query_embedding",
+            nn.initializers.normal(stddev=cfg.initializer_range),
+            (cfg.num_object_queries, cfg.hidden_size),
+            jnp.float32,
+        )
+        self.encoder = Encoder(cfg)
+        self.decoder = Decoder(cfg)
+        self.class_embedding = nn.Dense(
+            cfg.num_classes + 1,
+            dtype=jnp.float32,  # head in fp32: feeds CE loss + matcher
+            param_dtype=jnp.float32,
+            kernel_init=nn.initializers.xavier_uniform(),
+            bias_init=nn.initializers.zeros,
+        )
+        self.bbox_embedding = MLP(
+            hidden_dim=cfg.hidden_size,
+            output_dim=4,
+            num_layers=cfg.box_embedding_mlp_num_layers,
+            initializer_range=cfg.initializer_range,
+            dtype="float32",
+        )
+
     def __call__(
         self,
         images: Array,
@@ -84,27 +121,27 @@ class DETR(nn.Module):
           heights / widths: (B,) int32 valid pixel extents per image.
           deterministic: disables dropout (eval).
         """
+        feats = self.backbone(images)
+        return self.from_features(feats, heights, widths, deterministic)
+
+    def from_features(
+        self,
+        feats: Array,
+        heights: Array,
+        widths: Array,
+        deterministic: bool = True,
+    ) -> dict[str, Array]:
+        """Post-backbone pipeline (reference detr/model.py:70-94): projection,
+
+        positional embedding, padding mask, encoder, decoder, heads.  Exposed
+        so the torch-reference golden tests can drive it with a shared feature
+        map (``model.apply(vars, feats, h, w, method="from_features")``)."""
         cfg = self.config
         dtype = jnp.dtype(cfg.dtype)
         stride = cfg.backbone_stride
-
-        feats = ResNetBackbone(
-            backbone=cfg.backbone,
-            dilation=cfg.dilation,
-            dtype=cfg.dtype,
-            name="backbone",
-        )(images)
         B, fh, fw, _ = feats.shape
 
-        # 1x1 conv projection == Dense over the channel axis.
-        x = nn.Dense(
-            cfg.hidden_size,
-            dtype=dtype,
-            param_dtype=jnp.float32,
-            kernel_init=nn.initializers.xavier_uniform(),
-            bias_init=nn.initializers.zeros,
-            name="input_proj",
-        )(feats)
+        x = self.input_proj(feats)
 
         # fp32 positional embedding island (SURVEY §7 hard part #4).
         pos = batch_positional_encoding(
@@ -123,40 +160,17 @@ class DETR(nn.Module):
         pos = pos.reshape(B, fh * fw, cfg.hidden_size).astype(dtype)
         key_padding_mask = mask.reshape(B, fh * fw)
 
-        query_embed = self.param(
-            "object_query_embedding",
-            nn.initializers.normal(stddev=cfg.initializer_range),
-            (cfg.num_object_queries, cfg.hidden_size),
-            jnp.float32,
-        )
         query_embed = jnp.broadcast_to(
-            query_embed[None], (B, cfg.num_object_queries, cfg.hidden_size)
+            self.object_query_embedding[None],
+            (B, cfg.num_object_queries, cfg.hidden_size),
         ).astype(dtype)
 
-        encoded = Encoder(cfg, name="encoder")(
-            tokens, pos, key_padding_mask, deterministic
-        )
-        decoded = Decoder(cfg, name="decoder")(
+        encoded = self.encoder(tokens, pos, key_padding_mask, deterministic)
+        decoded = self.decoder(
             encoded, pos, query_embed, key_padding_mask, deterministic
         )  # (B, num_layers, Q, D)
 
-        logits = nn.Dense(
-            cfg.num_classes + 1,
-            dtype=jnp.float32,  # head in fp32: feeds CE loss + matcher
-            param_dtype=jnp.float32,
-            kernel_init=nn.initializers.xavier_uniform(),
-            bias_init=nn.initializers.zeros,
-            name="class_embedding",
-        )(decoded.astype(jnp.float32))
-
-        boxes = MLP(
-            hidden_dim=cfg.hidden_size,
-            output_dim=4,
-            num_layers=cfg.box_embedding_mlp_num_layers,
-            initializer_range=cfg.initializer_range,
-            dtype="float32",
-            name="bbox_embedding",
-        )(decoded.astype(jnp.float32))
-        boxes = jax.nn.sigmoid(boxes)
+        logits = self.class_embedding(decoded.astype(jnp.float32))
+        boxes = jax.nn.sigmoid(self.bbox_embedding(decoded.astype(jnp.float32)))
 
         return {"pred_logits": logits, "pred_boxes": boxes}

@@ -3,8 +3,11 @@
 Reproduces the reference's optimizer semantics (detr/train.py:172-204,
 116-123, 265-267):
   * AdamW (torch defaults: betas 0.9/0.999, eps 1e-8), weight decay 1e-4
-    applied to every trainable param (the reference declares
-    ``norm_weight_decay`` but never wires it — we honor it when set);
+    applied to every trainable param.  The reference declares
+    ``norm_weight_decay`` (train.py:68) but never wires it; we keep the field
+    for config parity and, when it is set to a float, actually apply that
+    decay rate to LayerNorm params (``None``, the default, reproduces the
+    reference: one rate for everything);
   * two parameter groups — backbone convs at ``lr_backbone`` (10x lower),
     everything else at ``lr`` — implemented with ``optax.multi_transform``
     over a top-level "backbone"/"rest" label tree;
@@ -15,19 +18,31 @@ Reproduces the reference's optimizer semantics (detr/train.py:172-204,
     micro-step (an Accelerate quirk); we clip the final averaged gradient —
     the standard behavior the clipping is meant to have.
 
-The frozen-BN statistics live in a separate variable collection and never
-reach the optimizer (reference parity: FrozenBatchNorm2d has no trainable
-params).
+Learning-rate mechanism — ``optax.inject_hyperparams``: the two group LRs
+live *in the optimizer state* (hyperparams ``backbone_lr`` / ``rest_lr``) and
+the trainer sets them once per epoch from the epoch schedule via
+``set_learning_rates`` — exactly the torch ``scheduler.step()``-per-epoch
+mechanism the reference uses (train.py:288).  This decouples the schedule
+from both the (bucket-dependent, approximate) steps-per-epoch count and the
+gradient-accumulation inner step count: the LR applied on an optimizer
+update is, by construction, the last value the trainer injected, and
+``get_learning_rates`` reads the *applied* LR back for logging.
 """
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Callable
 
+import jax
+import jax.numpy as jnp
 import optax
+from optax import tree_utils as otu
 
 from detr_tpu.config import TrainingConfig
-from detr_tpu.train.schedule import make_lr_schedule
+from detr_tpu.train.schedule import make_epoch_lr_schedule
+
+# inject_hyperparams names; ``set_learning_rates``/``tree_set`` key on these.
+LR_HYPERPARAMS = ("backbone_lr", "rest_lr")
 
 
 def backbone_label_fn(params) -> dict:
@@ -38,26 +53,78 @@ def backbone_label_fn(params) -> dict:
     return {k: ("backbone" if k == "backbone" else "rest") for k in params}
 
 
+def _is_norm_path(path) -> bool:
+    """True for params living under a LayerNorm module (named ``norm*``)."""
+    for entry in path:
+        key = getattr(entry, "key", None)
+        if isinstance(key, str) and key.startswith("norm"):
+            return True
+    return False
+
+
+def _add_decayed_weights_by_path(
+    wd_default: float, wd_norm: float
+) -> optax.GradientTransformation:
+    """``optax.add_decayed_weights`` with a per-leaf rate: LayerNorm params
+
+    (path component named ``norm*``) decay at ``wd_norm``, everything else at
+    ``wd_default``.  Implemented path-wise (no mask trees) so it composes
+    cleanly inside ``optax.multi_transform``'s masked subtrees."""
+
+    def init_fn(params):
+        del params
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        if params is None:
+            raise ValueError("add_decayed_weights_by_path requires params")
+
+        def f(path, u, p):
+            wd = wd_norm if _is_norm_path(path) else wd_default
+            return u + wd * p
+
+        return jax.tree_util.tree_map_with_path(f, updates, params), state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def set_learning_rates(opt_state, lrs: dict[str, float]):
+    """Injects per-group LRs into the optimizer state.
+
+    ``lrs`` maps group name ("backbone"/"rest") -> lr value.  Call once per
+    epoch (torch ``scheduler.step()`` equivalent, reference train.py:288).
+    Values are cast to f32 arrays so the jitted step's input signature stays
+    stable across epochs (no weak-type recompiles)."""
+    return otu.tree_set(
+        opt_state,
+        **{f"{group}_lr": jnp.asarray(lr, jnp.float32) for group, lr in lrs.items()},
+    )
+
+
+def get_learning_rates(opt_state) -> dict[str, float]:
+    """Reads the *applied* per-group LRs back out of the optimizer state."""
+    return {
+        group: float(otu.tree_get(opt_state, f"{group}_lr"))
+        for group in ("backbone", "rest")
+    }
+
+
 def build_optimizer(
     config: TrainingConfig,
-    steps_per_epoch: int,
     *,
     start_epoch: int = 0,
-    norm_mask_fn: Optional[Callable] = None,
 ) -> tuple[optax.GradientTransformation, dict[str, Callable]]:
-    """Returns (tx, schedules) where schedules maps group name -> lr schedule
-    (for logging parity with reference train.py:269-275).
+    """Returns (tx, schedules) where schedules maps group name ("backbone" /
+    "rest") -> epoch-indexed LR schedule.  The LRs are optimizer-state
+    hyperparams initialized at ``schedules[g](start_epoch)``; the trainer
+    refreshes them each epoch with ``set_learning_rates`` (the reference's
+    per-epoch ``scheduler.step()``, including the fast-forward on
+    weights-only resume, detr/train.py:238-241,288)."""
 
-    ``start_epoch`` offsets the schedule like the reference's scheduler
-    fast-forward on weights-only resume (detr/train.py:238-241)."""
-
-    offset = start_epoch * steps_per_epoch
-
-    def sched(base_lr):
-        base = make_lr_schedule(
+    schedules = {
+        group: make_epoch_lr_schedule(
             base_lr,
             epochs=config.epochs,
-            steps_per_epoch=steps_per_epoch,
             warmup_epochs=config.lr_warmup_epochs,
             warmup_decay=config.lr_warmup_decay,
             hold_epochs=config.lr_hold_max_epochs,
@@ -65,30 +132,46 @@ def build_optimizer(
             # param group (reference train.py:199) — including the backbone.
             lr_min=config.lr_min,
         )
-        if offset == 0:
-            return base
-        return lambda step: base(step + offset)
-
-    schedules = {
-        "backbone": sched(config.lr_backbone),
-        "rest": sched(config.lr),
+        for group, base_lr in (("backbone", config.lr_backbone), ("rest", config.lr))
     }
 
-    def adamw(schedule):
-        return optax.adamw(
-            learning_rate=schedule,
-            b1=0.9,
-            b2=0.999,
-            eps=1e-8,
-            weight_decay=config.weight_decay,
+    wd_norm = config.norm_weight_decay
+
+    def adamw_core(lr):
+        if wd_norm is None or wd_norm == config.weight_decay:
+            return optax.adamw(
+                learning_rate=lr,
+                b1=0.9,
+                b2=0.999,
+                eps=1e-8,
+                weight_decay=config.weight_decay,
+            )
+        # Same chain optax.adamw is made of, with the path-wise decay rates.
+        return optax.chain(
+            optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
+            _add_decayed_weights_by_path(config.weight_decay, wd_norm),
+            optax.scale_by_learning_rate(lr),
         )
+
+    # Distinct hyperparam names per group so tree_set can address each.
+    def backbone_factory(backbone_lr):
+        return adamw_core(backbone_lr)
+
+    def rest_factory(rest_lr):
+        return adamw_core(rest_lr)
+
+    group_tx = {
+        "backbone": optax.inject_hyperparams(backbone_factory)(
+            backbone_lr=float(schedules["backbone"](start_epoch))
+        ),
+        "rest": optax.inject_hyperparams(rest_factory)(
+            rest_lr=float(schedules["rest"](start_epoch))
+        ),
+    }
 
     tx = optax.chain(
         optax.clip_by_global_norm(config.gradient_max_norm),
-        optax.multi_transform(
-            {"backbone": adamw(schedules["backbone"]), "rest": adamw(schedules["rest"])},
-            backbone_label_fn,
-        ),
+        optax.multi_transform(group_tx, backbone_label_fn),
     )
 
     accum = config.gradient_accumulation_steps

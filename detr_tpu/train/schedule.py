@@ -3,7 +3,13 @@
 Reproduces the reference's ``SequentialLR`` of LinearLR -> constant LambdaLR
 -> CosineAnnealingLR (reference detr/train.py:187-204), including the
 per-*epoch* stepping (reference detr/train.py:288): within an epoch the LR is
-constant; the epoch index is ``step // steps_per_epoch``.
+constant.
+
+``make_epoch_lr_schedule`` is the primary form (epoch -> lr), evaluated on
+the host once per epoch by the trainer, which injects the value into the
+optimizer state (see train/optimizer.py) — exactly the torch
+``scheduler.step()``-per-epoch mechanism.  ``make_lr_schedule`` is the
+step-indexed view (epoch = step // steps_per_epoch) kept for analysis/tests.
 
 torch semantics reproduced exactly:
   * LinearLR(start_factor=warmup_decay, total_iters=W):
@@ -19,21 +25,20 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
-def make_lr_schedule(
+def make_epoch_lr_schedule(
     base_lr: float,
     *,
     epochs: int,
-    steps_per_epoch: int,
     warmup_epochs: int = 5,
     warmup_decay: float = 0.01,
     hold_epochs: int = 35,
     lr_min: float = 3e-6,
 ):
-    """Returns an optax-style schedule: step (int) -> lr (fp32 scalar)."""
+    """Returns epoch (int) -> lr (fp32 scalar)."""
     cooldown = max(epochs - warmup_epochs - hold_epochs, 1)
 
-    def schedule(step):
-        epoch = jnp.asarray(step, jnp.float32) // max(steps_per_epoch, 1)
+    def schedule(epoch):
+        epoch = jnp.asarray(epoch, jnp.float32)
 
         # warmup factor (torch LinearLR)
         w = jnp.minimum(epoch, warmup_epochs) / max(warmup_epochs, 1)
@@ -48,5 +53,34 @@ def make_lr_schedule(
         in_warmup = epoch < warmup_epochs
         in_hold = epoch < warmup_epochs + hold_epochs
         return jnp.where(in_warmup, warmup_lr, jnp.where(in_hold, base_lr, cos_lr))
+
+    return schedule
+
+
+def make_lr_schedule(
+    base_lr: float,
+    *,
+    epochs: int,
+    steps_per_epoch: int,
+    warmup_epochs: int = 5,
+    warmup_decay: float = 0.01,
+    hold_epochs: int = 35,
+    lr_min: float = 3e-6,
+):
+    """Step-indexed view: step (int) -> lr; the epoch index is
+    ``step // steps_per_epoch``."""
+    epoch_schedule = make_epoch_lr_schedule(
+        base_lr,
+        epochs=epochs,
+        warmup_epochs=warmup_epochs,
+        warmup_decay=warmup_decay,
+        hold_epochs=hold_epochs,
+        lr_min=lr_min,
+    )
+
+    def schedule(step):
+        return epoch_schedule(
+            jnp.asarray(step, jnp.float32) // max(steps_per_epoch, 1)
+        )
 
     return schedule

@@ -90,11 +90,14 @@ def build_criterion(train_config: TrainingConfig, detr_config: DETRConfig) -> Se
 
 
 def _targets_of_batch(batch: dict[str, Array]) -> dict[str, Array]:
-    return {
+    targets = {
         "class_idx": batch["class_idx"],
         "boxes_normalized": batch["boxes_normalized"],
         "gt_valid": batch["gt_valid"],
     }
+    if "image_valid" in batch:  # final short eval batches carry loader padding
+        targets["image_valid"] = batch["image_valid"]
+    return targets
 
 
 def make_train_step(

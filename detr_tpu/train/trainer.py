@@ -43,7 +43,11 @@ from detr_tpu.eval import DetectionMetrics, PostProcess
 from detr_tpu.models import DETR
 from detr_tpu.parallel import make_mesh, shard_batch, shard_state
 from detr_tpu.train.checkpoint import CheckpointManager
-from detr_tpu.train.optimizer import build_optimizer
+from detr_tpu.train.optimizer import (
+    build_optimizer,
+    get_learning_rates,
+    set_learning_rates,
+)
 from detr_tpu.train.train_step import (
     build_criterion,
     create_train_state,
@@ -93,6 +97,7 @@ def _make_loaders(config: TrainingConfig, synthetic: bool):
         config.val_batch_size,
         max_gt=config.max_gt_boxes,
         num_workers=config.num_workers,
+        shape=config.eval_shape,
     )
     return train_loader, val_loader, train_dataset.num_classes, train_dataset.class_names
 
@@ -111,20 +116,16 @@ def train_DETR(
     train_loader, val_loader, num_classes, class_names = _make_loaders(
         config, synthetic
     )
-    detr_config = detr_config.replace(num_classes=num_classes)
-
-    steps_per_epoch = max(
-        len(train_loader)
-        if config.limit_train_iters == 0
-        else config.limit_train_iters,
-        1,
+    # mixed_precision is the single precision authority under the trainer
+    # (reference train.py:75 autocast): bf16 compute / fp32 params vs fp32.
+    detr_config = detr_config.replace(
+        num_classes=num_classes,
+        dtype="bfloat16" if config.mixed_precision == "bf16" else "float32",
     )
 
     model = DETR(detr_config)
     criterion = build_criterion(config, detr_config)
-    tx, schedules = build_optimizer(
-        config, steps_per_epoch, start_epoch=config.start_epoch
-    )
+    tx, schedules = build_optimizer(config, start_epoch=config.start_epoch)
 
     sample = next(iter(train_loader))
     sample = {k: jnp.asarray(v) for k, v in sample.items() if k != "pad_count"}
@@ -184,6 +185,15 @@ def train_DETR(
     timer = StepTimer(config.train_batch_size)
     for epoch in range(first_epoch, config.epochs):
         epoch_t0 = time.time()
+        # Per-epoch LR step (reference scheduler.step(), train.py:288): inject
+        # this epoch's group LRs into the optimizer state.
+        state = state.replace(
+            opt_state=set_learning_rates(
+                state.opt_state,
+                {g: float(s(epoch)) for g, s in schedules.items()},
+            )
+        )
+        applied_lrs = get_learning_rates(state.opt_state)
         for step_i, batch in enumerate(train_loader):
             if config.limit_train_iters > 0 and step_i >= config.limit_train_iters:
                 break
@@ -198,8 +208,9 @@ def train_DETR(
                 host = {k: float(v) for k, v in metrics.items()}
                 lr_scalars = {
                     **perf,
-                    "lr/backbone": float(schedules["backbone"](global_step)),
-                    "lr/transformer": float(schedules["rest"](global_step)),
+                    # Applied LRs, read back from the optimizer state.
+                    "lr/backbone": applied_lrs["backbone"],
+                    "lr/transformer": applied_lrs["rest"],
                     "loss/total/train": host["loss"],
                     "grad_norm": host["grad_norm"],
                     "epoch": epoch,
@@ -226,6 +237,7 @@ def train_DETR(
                 tracker=tracker,
                 limit_val_iters=config.limit_val_iters,
                 global_step=global_step,
+                log_images=(epoch % max(config.save_image_epochs, 1) == 0),
             )
             logger.info(
                 "Validation [epoch %d]: AP %.3f AP50 %.3f",
@@ -263,11 +275,14 @@ def run_validation(
     tracker: Optional[MetricLogger] = None,
     limit_val_iters: int = 0,
     global_step: int = 0,
+    log_images: bool = True,
 ) -> dict:
     """Validation loop (reference detr/train.py:358-458): loss averaging
 
-    weighted by image count, PostProcess on the LAST decoder layer only,
-    COCO mAP, and first-batch GT/pred image grids."""
+    weighted by image count (loader padding excluded from the loss by the
+    criterion via ``image_valid``), PostProcess on the LAST decoder layer
+    only, COCO mAP, and first-batch GT/pred image grids (gated by
+    ``save_image_epochs`` via ``log_images``)."""
     eval_step, state = model_state
     post_process = PostProcess(class_names)
     metrics = DetectionMetrics(class_names)
@@ -296,7 +311,7 @@ def run_validation(
         )
         metrics.update(preds, batch)
 
-        if step_i == 0 and tracker is not None:
+        if step_i == 0 and tracker is not None and log_images:
             gt_items, pred_items = [], []
             for i in range(min(n_img, 25)):
                 img = np.asarray(device_batch["image"][i])
@@ -402,12 +417,13 @@ def main() -> int:
             num_attention_heads=2,
             hidden_size=16,
             ffn_scale_factor=2,
-            dtype="float32",
         )
         config = config.replace(
             shape_buckets=((64, 64),),
             max_gt_boxes=8,
             cumulative_train_batch_size=config.train_batch_size,
+            mixed_precision="no",  # fp32 on CPU smoke runs
+            eval_shape=(64, 64),
         )
     train_DETR(config, detr_config, synthetic=args.synthetic)
     return 0

@@ -202,3 +202,28 @@ def test_empty_batch_no_nans(rng):
     assert float(out["loss_giou"]) == 0.0
     assert float(out["class_error"]) == 100.0
     assert np.isfinite(float(total_loss(out)))
+
+
+def test_image_valid_excludes_padded_images(rng):
+    """Loss on [A, B, pad] with image_valid=[1,1,0] == loss on [A, B]:
+
+    the loader's final-short-batch padding (repeated items) must not bias
+    any loss term (reference semantics: loss over the true images only)."""
+    outputs, targets = make_problem(rng, B=3, L=2, Q=12, G=6, C=5, n_valid=(4, 2, 6))
+    matcher = HungarianMatcher(eps_min=1e-4)
+    crit = SetCriterion(num_classes=5, matcher=matcher)
+
+    padded = crit(
+        {k: jnp.asarray(v) for k, v in outputs.items()},
+        {
+            **{k: jnp.asarray(v) for k, v in targets.items()},
+            "image_valid": jnp.asarray([True, True, False]),
+        },
+    )
+    unpadded = crit(
+        {k: jnp.asarray(v[:2]) for k, v in outputs.items()},
+        {k: jnp.asarray(v[:2]) for k, v in targets.items()},
+    )
+    assert set(padded) == set(unpadded)
+    for k in unpadded:
+        assert float(padded[k]) == pytest.approx(float(unpadded[k]), rel=1e-4, abs=1e-5), k

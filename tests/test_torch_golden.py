@@ -1,0 +1,237 @@
+"""Golden fp32 parity vs the ACTUAL PyTorch reference implementation.
+
+These tests import the reference (/root/reference/detr — see
+tests/torch_reference.py for the torchvision stubbing), copy its randomly
+initialized weights into the flax modules, run both sides on identical
+inputs, and assert allclose in fp32:
+
+  * the full post-backbone model — input projection, sine positional
+    encoding, padding mask (reference "corner" semantics), 6-layer pre-LN
+    encoder, 6-layer decoder from zeros with stacked per-layer outputs,
+    class + box heads (reference detr/model.py:31-225);
+  * the Hungarian matcher assignments (reference detr/matcher.py:17-99);
+  * every SetCriterion loss key (reference detr/loss.py:18-231).
+
+This is the certification the north star asks for ("matching reference
+outputs in fp32"): the remaining numpy self-parity tests check shapes and
+edge cases, these check the actual numbers.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from detr_tpu.config import DETRConfig  # noqa: E402
+from detr_tpu.losses import SetCriterion  # noqa: E402
+from detr_tpu.matcher import HungarianMatcher, scipy_match_batch  # noqa: E402
+from detr_tpu.models import DETR  # noqa: E402
+
+from torch_reference import load_reference, torch_state_to_flax_params  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def reference():
+    return load_reference()
+
+
+# Full-size DETR-R50 transformer (only the spatial extent is reduced).
+FH, FW = 7, 9
+IMG_H, IMG_W = FH * 32, FW * 32
+HEIGHTS = [200, IMG_H]  # ragged extents: exercises pos-enc + padding mask
+WIDTHS = [IMG_W, 150]
+
+
+class _FixedFeatureBackbone(torch.nn.Module):
+    """Replaces the reference Backbone: returns a fixed feature map."""
+
+    def __init__(self, features: torch.Tensor):
+        super().__init__()
+        self.features = features
+        self.num_channels = features.shape[1]
+        self.scale = 32
+
+    def forward(self, images):
+        return self.features
+
+
+@pytest.fixture(scope="module")
+def matched_models(reference):
+    """(ref DETR with stubbed backbone, flax DETR, flax variables, features)."""
+    ref_model, _, _, _ = reference
+    torch.manual_seed(0)
+
+    ref_cfg = ref_model.DETRConfig()  # defaults: 6+6 layers, 8 heads, d=256
+    ref = ref_model.DETR(ref_cfg)
+    feats_t = torch.randn(2, 2048, FH, FW, dtype=torch.float32)
+    ref.backbone = _FixedFeatureBackbone(feats_t)
+    ref.eval()
+
+    cfg = DETRConfig(dtype="float32", padding_mask_mode="corner")
+    model = DETR(cfg)
+    params = torch_state_to_flax_params(ref.state_dict(), cfg)
+    return ref, model, {"params": params}, feats_t
+
+
+def test_forward_parity_fp32(matched_models):
+    ref, model, variables, feats_t = matched_models
+    heights_t = torch.tensor(HEIGHTS, dtype=torch.int64)
+    widths_t = torch.tensor(WIDTHS, dtype=torch.int64)
+    with torch.no_grad():
+        ref_out = ref(torch.zeros(2, 3, IMG_H, IMG_W), heights_t, widths_t)
+
+    feats = jnp.asarray(feats_t.numpy().transpose(0, 2, 3, 1))  # NCHW -> NHWC
+    out = model.apply(
+        variables,
+        feats,
+        jnp.asarray(HEIGHTS, jnp.int32),
+        jnp.asarray(WIDTHS, jnp.int32),
+        method="from_features",
+    )
+
+    np.testing.assert_allclose(
+        np.asarray(out["pred_logits"]),
+        ref_out["pred_logits"].numpy(),
+        rtol=1e-4,
+        atol=5e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["pred_boxes"]),
+        ref_out["pred_boxes"].numpy(),
+        rtol=1e-4,
+        atol=1e-5,
+    )
+
+
+# ---------- matcher + criterion parity ----------
+
+
+def _random_problem(seed, B=3, L=2, Q=20, G=8, C=17, n_valid=(5, 0, 8)):
+    rng = np.random.default_rng(seed)
+    logits = rng.normal(size=(B, L, Q, C + 1)).astype(np.float32)
+    boxes = rng.uniform(0.2, 0.6, size=(B, L, Q, 4)).astype(np.float32)  # cxcywh
+    class_idx = rng.integers(0, C, size=(B, G)).astype(np.int64)
+    x0 = rng.uniform(0, 0.5, size=(B, G, 1))
+    y0 = rng.uniform(0, 0.5, size=(B, G, 1))
+    gt = np.concatenate(
+        [x0, y0, x0 + rng.uniform(0.1, 0.4, (B, G, 1)), y0 + rng.uniform(0.1, 0.4, (B, G, 1))],
+        axis=-1,
+    ).astype(np.float32)
+    valid = np.zeros((B, G), bool)
+    for b, n in enumerate(n_valid):
+        valid[b, :n] = True
+    return logits, boxes, class_idx, gt, valid
+
+
+def _ragged_targets(class_idx, gt, valid):
+    labels = [torch.as_tensor(class_idx[b][valid[b]]) for b in range(len(valid))]
+    boxes = [torch.as_tensor(gt[b][valid[b]]) for b in range(len(valid))]
+    return {"class_idx": labels, "boxes_normalized": boxes}
+
+
+def test_matcher_assignment_parity(reference):
+    """Per-layer assignments equal the reference scipy matcher's pairs."""
+    _, _, ref_matcher_mod, _ = reference
+    logits, boxes, class_idx, gt, valid = _random_problem(seed=1)
+    B, L, Q, _ = logits.shape
+    G = gt.shape[1]
+
+    ref_matcher = ref_matcher_mod.HungarianMatcher(
+        cost_class=1.0, cost_bbox=5.0, cost_giou=2.0
+    )
+    targets = _ragged_targets(class_idx, gt, valid)
+
+    matcher = HungarianMatcher(
+        cost_class=1.0, cost_bbox=5.0, cost_giou=2.0, eps_min=1e-4
+    )
+    qog = np.asarray(
+        matcher(
+            jnp.asarray(logits),
+            jnp.asarray(boxes),
+            jnp.broadcast_to(jnp.asarray(class_idx.astype(np.int32))[:, None], (B, L, G)),
+            jnp.broadcast_to(jnp.asarray(gt)[:, None], (B, L, G, 4)),
+            jnp.broadcast_to(jnp.asarray(valid)[:, None], (B, L, G)),
+        )
+    )
+
+    for layer in range(L):
+        with torch.no_grad():
+            ref_assign = ref_matcher(
+                torch.as_tensor(logits[:, layer]),
+                torch.as_tensor(boxes[:, layer]),
+                targets["class_idx"],
+                targets["boxes_normalized"],
+            )
+        for b in range(B):
+            pred_idx, gt_idx = (x.numpy() for x in ref_assign[b])
+            ref_qog = np.full(G, -1, np.int64)
+            ref_qog[gt_idx] = pred_idx
+            ours = np.where(valid[b], qog[b, layer], -1)
+            np.testing.assert_array_equal(ours[valid[b]], ref_qog[valid[b]])
+
+
+class _FixedMatcher:
+    def __init__(self, qog):
+        self.qog = jnp.asarray(qog)
+
+    def __call__(self, *a, **kw):
+        return self.qog
+
+
+@pytest.mark.parametrize("use_production_matcher", [False, True])
+def test_criterion_parity_all_keys(reference, use_production_matcher):
+    """Every loss key matches the reference SetCriterion in fp32."""
+    _, ref_loss_mod, ref_matcher_mod, _ = reference
+    logits, boxes, class_idx, gt, valid = _random_problem(seed=2)
+    B, L, Q, C1 = logits.shape
+    G = gt.shape[1]
+    C = C1 - 1
+
+    ref_criterion = ref_loss_mod.SetCriterion(
+        num_classes=C,
+        matcher=ref_matcher_mod.HungarianMatcher(
+            cost_class=1.0, cost_bbox=5.0, cost_giou=2.0
+        ),
+    )
+    with torch.no_grad():
+        ref_losses = ref_criterion(
+            {
+                "pred_logits": torch.as_tensor(logits),
+                "pred_boxes": torch.as_tensor(boxes),
+            },
+            _ragged_targets(class_idx, gt, valid),
+        )
+    ref_losses = {k: float(v) for k, v in ref_losses.items()}
+
+    if use_production_matcher:
+        matcher = HungarianMatcher(
+            cost_class=1.0, cost_bbox=5.0, cost_giou=2.0, eps_min=1e-4
+        )
+        rel = 1e-3  # auction vs scipy may differ within the 2*eps*G bound
+    else:
+        qog = scipy_match_batch(
+            logits,
+            boxes,
+            np.broadcast_to(class_idx[:, None].astype(np.int32), (B, L, G)),
+            np.broadcast_to(gt[:, None], (B, L, G, 4)),
+            np.broadcast_to(valid[:, None], (B, L, G)),
+        )
+        matcher = _FixedMatcher(qog)
+        rel = 1e-5
+
+    criterion = SetCriterion(num_classes=C, matcher=matcher)
+    ours = criterion(
+        {"pred_logits": jnp.asarray(logits), "pred_boxes": jnp.asarray(boxes)},
+        {
+            "class_idx": jnp.asarray(class_idx.astype(np.int32)),
+            "boxes_normalized": jnp.asarray(gt),
+            "gt_valid": jnp.asarray(valid),
+        },
+    )
+
+    assert set(ours) == set(ref_losses)
+    for k, ref_v in ref_losses.items():
+        assert float(ours[k]) == pytest.approx(ref_v, rel=rel, abs=1e-5), k

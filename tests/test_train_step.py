@@ -37,7 +37,7 @@ def make_setup(accum_batches=1, batch_size=2):
     )
     model = DETR(TINY)
     criterion = build_criterion(tc, TINY)
-    tx, _ = build_optimizer(tc, steps_per_epoch=10)
+    tx, _ = build_optimizer(tc)
     rng = np.random.default_rng(0)
     batch = synthetic_batch(rng, batch_size, 64, 64, max_gt=5, num_classes=7)
     batch = {k: jnp.asarray(v) for k, v in batch.items()}
