@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import dataclasses
 from dataclasses import dataclass, field
-from typing import Optional, Tuple
+from typing import Optional, Tuple, Union
 
 
 @dataclass
@@ -48,9 +48,13 @@ class DETRConfig:
     # L-shaped pad region. "full" fixes the bug (our default); "corner"
     # reproduces the reference bit-for-bit for golden parity tests.
     padding_mask_mode: str = "full"  # "full" | "corner"
-    # Use the fused Pallas masked-flash-attention kernel for encoder
-    # self-attention (falls back to the XLA path when False or unsupported).
-    use_pallas_attention: bool = False
+    # Use the fused Pallas masked-flash-attention kernels (fwd + bwd, with
+    # in-kernel hash-mask dropout) for every attention without an explicit
+    # (L, S) attention_mask — encoder/decoder self- and cross-attention,
+    # train and eval.  "auto" (default): on for real TPU backends, off on
+    # CPU (where the kernel would run in the slow interpreter — tests opt in
+    # explicitly).  True forces the kernel everywhere; False never uses it.
+    use_pallas_attention: Union[bool, str] = "auto"
     # Load pretrained backbone weights from this .npz (converted from
     # torchvision via models/convert.py); None → random init.
     backbone_weights: Optional[str] = None

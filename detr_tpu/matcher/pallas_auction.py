@@ -1,4 +1,4 @@
-"""Pallas TPU kernel: VMEM-resident batched auction assignment solver.
+"""Pallas TPU kernel: VMEM-resident batched rectangular auction solver.
 
 Why a kernel: the XLA implementation (detr_tpu/matcher/auction.py) is
 HBM-bound — every auction round streams ~20 (N, Q, Q) temporaries through
@@ -6,31 +6,54 @@ HBM, ~125us/round on v5e, and a train step runs hundreds of rounds.  Here the
 whole solver state (benefit matrix, prices, ownership) lives in VMEM for the
 entire solve, so a round is pure VPU work with zero HBM traffic.
 
-Algorithm: squared Jacobi forward auction with epsilon-scaling and randomized
-tie-breaking — see auction.py for the base correctness argument — plus two
-kernel-side accelerations:
+Algorithm: **rectangular** Jacobi forward auction with epsilon-scaling and
+randomized tie-breaking.  Unlike the XLA path (and this kernel's first
+incarnation), the problem is NOT squared with zero-benefit dummy persons:
+only the G_valid real GT "persons" bid over the Q queries.  That removes the
+dominant late-phase cost of the squared solve — the "dummy war", where
+Q - G_valid interchangeable dummies leapfrog each other by epsilon to
+equalize the free queries' prices — and shrinks every per-round temporary
+from (N, Q, Q) to (N, P, Q) with P = padded G_max (4x less VPU work at
+DETR's G_max=25, Q=100).
 
-  * **Phase-outer structure**: a static unrolled loop over epsilon phases,
-    each running an inner ``while`` until every problem's assignment is
-    complete.  Problems whose epsilon already bottomed out skip the reset and
-    stay converged.
-  * **Dummy-floor equalization**: at each phase start, the prices of the
-    d = Q - G_valid cheapest queries are lifted to the d-th smallest price
-    (found by a short binary search).  Rationale: the dominant round cost was
-    the late-phase "dummy war" — interchangeable zero-benefit dummy persons
-    leapfrogging each other by epsilon to equalize the free queries' prices,
-    ~(price spread / epsilon) rounds.  Because the problem is *squared*, the
-    sum of prices over a perfect matching is permutation-invariant, so any
-    price modification at a phase boundary (when everyone is unassigned)
-    cannot bias the final assignment — the final phase re-establishes
-     2-epsilon-CS from whatever prices it starts with.  Equalizing the floor
-    analytically lets the dummies spread in a couple of rounds via the
-    randomized tie-break.
+Correctness of the rectangular form:
+
+  * Prices start at 0 and every accepted bid satisfies
+    ``bid >= price + eps`` (the winner's candidate profit is >= w1 - eps, so
+    ``bid = benefit - min(w_ex, w1 - eps) + eps >= price + eps``), hence
+    prices are monotonically non-negative and a query that is never bid on
+    keeps price 0.  With *zero-price unassigned queries*, the classic
+    primal-dual argument gives: for any competing assignment {k_i},
+    ``sum a_i,j_i >= sum a_i,k_i - 2*G*eps + (sum p_j_i - sum p_k_i)`` and
+    the price-sum difference is >= 0 because every positively-priced query
+    is assigned — i.e. the auction result is within 2*eps per GT of optimal
+    with NO dummies (Bertsekas' asymmetric-assignment bound).
+  * Epsilon-scaling carries prices across phases (the warm start is what
+    makes late, small-epsilon phases cheap), which can leave *stale* positive
+    prices on queries that end the final phase unassigned — exactly the case
+    the zero-price argument needs to exclude.  The final phase therefore
+    finishes with **reverse (query-side) auction rounds** a la the
+    Bertsekas-Castanon asymmetric auction: every unowned query with positive
+    price either finds nobody worth attracting (``beta1 < eps``) and drops
+    its price to 0 permanently, or lowers its price to
+    ``max(0, beta2 - eps)`` and attracts its best person, whose profit
+    strictly rises by >= eps (the vacated query joins the candidate pool).
+    The key invariant: the lowered price still satisfies
+    ``a_ij - p_j_new <= pi_i + eps`` for every *other* person i (beta2 is
+    the second-best interest), so person-side eps-CS is never broken and no
+    forward re-run is needed.  Termination: person profits are monotone and
+    bounded; at the fixpoint every unowned query has price exactly 0, which
+    is the invariant the rectangular optimality bound requires.  (A simpler
+    "zero the stale prices and re-bid" fixpoint is NOT sound — zeroing
+    breaks eps-CS for third parties and cascades; measured livelock.)
 
 Kernel-friendly substitutions vs the XLA path: argmax emulated with max +
 first-index-of-max; the random candidate pick uses hashed priorities and a
 masked argmax instead of a cumsum-rank; scatters become masked reductions
 over one-hot compares.
+
+Replaces the reference's per-image CPU scipy solve (reference
+detr/matcher.py:94) — see detr_tpu/matcher/hungarian.py.
 
 Grid: problems are processed in VMEM-sized chunks; each grid cell runs its
 own loops to convergence.
@@ -58,28 +81,9 @@ def _first_argmax(x: Array, iota: Array, axis: int) -> Array:
     return jnp.min(jnp.where(hit, iota, big), axis=axis)
 
 
-def _kth_smallest(x: Array, k: Array, iters: int = 14) -> Array:
-    """Per-row k-th smallest of x (N, Q) via binary search; k is (N, 1).
-
-    Returns (N, 1) lam such that ~k entries of each row are <= lam.
-    """
-    lo = jnp.min(x, axis=1, keepdims=True)
-    hi = jnp.max(x, axis=1, keepdims=True)
-
-    def body(i, carry):
-        lo, hi = carry
-        mid = 0.5 * (lo + hi)
-        cnt = jnp.sum((x <= mid).astype(jnp.int32), axis=1, keepdims=True)
-        take_hi = cnt >= k
-        return jnp.where(take_hi, lo, mid), jnp.where(take_hi, mid, hi)
-
-    lo, hi = jax.lax.fori_loop(0, iters, body, (lo, hi))
-    return hi
-
-
 def _auction_kernel(
     benefit_ref,
-    n_valid_ref,
+    valid_ref,
     out_obj_ref,
     iters_ref,
     *,
@@ -90,16 +94,21 @@ def _auction_kernel(
     num_phases: int,
     unroll: int,
 ):
-    benefit = benefit_ref[:]  # (N, P, Q) fp32, P == Q
+    benefit = benefit_ref[:]  # (N, P, Q) fp32 — persons are real GT slots
     N, P, Q = benefit.shape
-    n_valid = n_valid_ref[:, 0:1]  # (N, 1) int32 — count of real persons
+    valid_p = valid_ref[:, :P] > 0  # (N, P) bool — real (non-padding) persons
 
     q_iota = jax.lax.broadcasted_iota(jnp.int32, (N, P, Q), 2)
     p_iota = jax.lax.broadcasted_iota(jnp.int32, (N, P, Q), 1)
+    p_iota2 = jax.lax.broadcasted_iota(jnp.int32, (N, P), 1)
+    q_iota2 = jax.lax.broadcasted_iota(jnp.int32, (N, Q), 1)
 
     # Keep every intermediate >= 2D (Mosaic layout requirement).
     rng = jnp.max(jnp.max(jnp.abs(benefit), axis=2), axis=1, keepdims=True)  # (N,1)
     eps0 = jnp.maximum(jnp.maximum(rng, 1e-6) * eps_start_scale, eps_min)
+
+    # Padding persons never bid: sentinel obj = Q ("assigned to nothing").
+    obj_init = jnp.where(valid_p, jnp.int32(-1), jnp.int32(Q))
 
     def one_round(state):
         prices, owner, obj, eps, it = state
@@ -164,18 +173,14 @@ def _auction_kernel(
 
         return prices, owner, obj, eps, it + 1
 
-    p_iota2 = jax.lax.broadcasted_iota(jnp.int32, (N, P), 1)
-    q_iota2 = jax.lax.broadcasted_iota(jnp.int32, (N, Q), 1)
-
     def tail_round(state):
         """Gauss-Seidel round: ONE bidder per problem.
 
-        Late-phase rounds have only a couple of unassigned persons per
-        problem (price wars); a Jacobi round still pays for all P person
-        rows.  This round costs one (N, P)x(P, Q) row gather plus (N, Q)
-        vector work — ~13x cheaper — and single-bidder auction rounds are
-        the classic Gauss-Seidel variant (no bid collisions, plain
-        Bertsekas bids, strictly correct).
+        Late rounds have only a couple of unassigned persons per problem
+        (price wars); a Jacobi round still pays for all P person rows.  This
+        round costs one (N, P)x(P, Q) row gather plus (N, Q) vector work,
+        and single-bidder auction rounds are the classic Gauss-Seidel
+        variant (no bid collisions, plain Bertsekas bids, strictly correct).
         """
         prices, owner, obj, eps, it = state
 
@@ -256,33 +261,104 @@ def _auction_kernel(
             state = tail_round(state)
         return state
 
+    def run_to_completion(state):
+        state = jax.lax.while_loop(settle_cond, settle_body, state)
+        return jax.lax.while_loop(tail_cond, tail_body, state)
+
+    _BIG_PROFIT = 1e30
+
+    def reverse_round(state):
+        """Jacobi reverse round: unowned positive-priced queries act.
+
+        Each candidate query computes its best person i* by attraction value
+        ``a_ij - pi_i``; if even i* is not worth ``>= eps`` the query zeroes
+        its price permanently, otherwise it offers itself at
+        ``max(0, beta2 - eps)``.  Persons accept their best offer (profit
+        rises >= eps), vacating their old query.  See module docstring for
+        the eps-CS preservation argument.
+        """
+        prices, owner, obj, eps, it = state
+
+        own3 = q_iota == obj[:, :, None]  # (N,P,Q); obj in {-1, Q}: no match
+        pi = jnp.sum(jnp.where(own3, benefit - prices[:, None, :], 0.0), axis=2)
+        pi = jnp.where(valid_p, pi, _BIG_PROFIT)  # (N,P) padding never attracts
+
+        vrev = benefit - pi[:, :, None]  # (N,P,Q): query j's value of person i
+        cand = (owner < 0) & (prices > 0.0)  # (N,Q)
+
+        beta1 = jnp.max(vrev, axis=1)  # (N,Q)
+        istar = _first_argmax(vrev, p_iota, axis=1)  # (N,Q)
+        masked = jnp.where(p_iota == istar[:, None, :], _NEG_LARGE, vrev)
+        beta2 = jnp.max(masked, axis=1)  # (N,Q)
+
+        eps_q = jnp.broadcast_to(eps, beta1.shape)  # (N,1)->(N,Q)
+        no_attract = beta1 < eps_q
+        prices = jnp.where(cand & no_attract, 0.0, prices)
+
+        offering = cand & ~no_attract  # (N,Q)
+        newp = jnp.maximum(0.0, beta2 - eps_q)  # (N,Q)
+
+        # Persons accept the best offer directed at them (Jacobi conflicts:
+        # losing queries stay candidates and retry next round).
+        # Mosaic can't insert dims on 1-bit vectors; expand via int32.
+        offering3 = offering.astype(jnp.int32)[:, None, :] > 0
+        offers3 = (p_iota == istar[:, None, :]) & offering3  # (N,P,Q)
+        gain = jnp.where(offers3, benefit - newp[:, None, :], _NEG_LARGE)
+        best_gain = jnp.max(gain, axis=2)  # (N,P)
+        jstar = _first_argmax(gain, q_iota, axis=2)  # (N,P)
+        accept = valid_p & (best_gain > _NEG_LARGE / 2)
+
+        old_obj = obj
+        obj = jnp.where(accept, jstar, obj)
+
+        accept3 = accept.astype(jnp.int32)[:, :, None] > 0
+        vac3 = (q_iota == old_obj[:, :, None]) & accept3
+        vacated_q = jnp.max(vac3.astype(jnp.int32), axis=1) > 0  # (N,Q)
+        win3 = (q_iota == jstar[:, :, None]) & accept3
+        won_q = jnp.max(win3.astype(jnp.int32), axis=1) > 0  # (N,Q)
+        winner_p = _first_argmax(
+            jnp.where(win3, jnp.int32(1), jnp.int32(0)), p_iota, axis=1
+        )
+
+        owner = jnp.where(vacated_q & ~won_q, -1, owner)
+        owner = jnp.where(won_q, winner_p, owner)
+        prices = jnp.where(won_q, newp, prices)
+
+        return prices, owner, obj, eps, it + 1
+
+    def reverse_cond(state):
+        prices, owner, obj, eps, it = state
+        dirty = (owner < 0) & (prices > 0.0)
+        return (jnp.max(dirty.astype(jnp.int32)) > 0) & (it < 16 * max_iters)
+
+    def reverse_body(state):
+        for _ in range(unroll):
+            state = reverse_round(state)
+        return state
+
     def phase(ph, state):
         prices, owner, obj, eps, it = state
         # Problems still above eps_min start a new phase: shrink eps, drop
-        # the assignment, keep prices but equalize the dummy floor.
+        # the assignment, keep prices (the warm start).
         active = eps > eps_min  # (N,1); phase 0: everyone (eps0 > 0 >=...)
         active = active | (ph == 0)
-
-        d = jnp.maximum(Q - n_valid, 0)  # dummies per problem (N,1)
-        lam = _kth_smallest(prices, jnp.maximum(d, 1))  # (N,1)
-        lifted = jnp.maximum(prices, lam)
-        prices = jnp.where(active & (d > 0), lifted, prices)
 
         eps = jnp.where(active, jnp.maximum(eps * eps_decay, eps_min), eps)
         eps = jnp.where(ph == 0, eps0, eps)  # phase 0 uses eps0 itself
         owner = jnp.where(active, -1, owner)
-        obj = jnp.where(active, -1, obj)
+        obj = jnp.where(active & valid_p, -1, obj)
 
-        state = jax.lax.while_loop(
-            settle_cond, settle_body, (prices, owner, obj, eps, it)
-        )
-        # Gauss-Seidel tail: finish the stragglers with cheap rounds.
-        return jax.lax.while_loop(tail_cond, tail_body, state)
+        state = run_to_completion((prices, owner, obj, eps, it))
+        if ph == num_phases - 1:
+            # Final phase: reverse rounds make the carried prices sound for
+            # the rectangular problem (see module docstring).
+            state = jax.lax.while_loop(reverse_cond, reverse_body, state)
+        return state
 
     state = (
         jnp.zeros((N, Q), jnp.float32),
         jnp.full((N, Q), -1, jnp.int32),
-        jnp.full((N, P), -1, jnp.int32),
+        obj_init,
         eps0,
         jnp.int32(0),
     )
@@ -293,7 +369,7 @@ def _auction_kernel(
         state = phase(ph, state)
         counts = counts + jnp.where(lane == ph, state[4] - it_before, 0)
     prices, owner, obj, eps, it = state
-    out_obj_ref[:] = obj
+    out_obj_ref[:] = jnp.where(obj == Q, -1, obj)
     iters_ref[:] = counts + jnp.where(lane == 127, it, 0)
 
 
@@ -318,7 +394,7 @@ def pallas_auction_lap(
     unroll: int = 4,
     interpret: bool = False,
 ) -> tuple[Array, Array]:
-    """Batched LAP via the VMEM-resident auction kernel.
+    """Batched LAP via the VMEM-resident rectangular auction kernel.
 
     Args:
       cost: (N, Q, G) fp32, G <= Q (rows queries, columns GT).
@@ -336,29 +412,48 @@ def pallas_auction_lap(
         raise ValueError(f"need G <= Q, got {Q=}, {G=}")
     gt_valid = gt_valid.astype(bool)
 
-    # Square the problem (see auction.py): persons [0, G) real, rest dummies.
-    benefit = jnp.zeros((N, Q, Q), jnp.float32)
+    # Rectangular: persons are the G GT slots (sublane-padded), objects the
+    # Q queries.  No dummy persons — see the module docstring.
+    P = max(8, -(-G // 8) * 8)
+    benefit = jnp.zeros((N, P, Q), jnp.float32)
     benefit = benefit.at[:, :G, :].set(
         jnp.where(gt_valid[:, :, None], -jnp.swapaxes(cost, 1, 2), 0.0)
     )
-    n_valid = jnp.sum(gt_valid.astype(jnp.int32), axis=1)  # (N,)
-    n_valid_in = jnp.broadcast_to(n_valid[:, None], (N, 128)).astype(jnp.int32)
+    valid_in = jnp.zeros((N, max(128, P)), jnp.int32)
+    valid_in = valid_in.at[:, :G].set(gt_valid.astype(jnp.int32))
 
     # Static phase count: enough to bring the largest plausible eps0 down to
     # eps_min (phase 0 runs at eps0; each later phase multiplies by decay).
     # Upper-bound the dynamic range at 1e6.
     num_phases = 1 + max(1, int(math.ceil(math.log(1e-6) / math.log(eps_decay))))
 
-    # Chunk problems so one chunk's working set fits in VMEM (~14 live
-    # (chunk, P, Q) buffers per round; tiles pad P to /8 and Q to /128).
+    # Chunk problems so one chunk's working set fits scoped VMEM.  Live
+    # (chunk, P, Q) fp32/int32 buffers per Jacobi round measured from a real
+    # Mosaic stack-OOM report: 13 (benefit, values, masked, hash, prio,
+    # bid_matrix, two 3D iotas, plus compiler temporaries); 16 leaves margin.
+    # Mosaic tiling: a 2D block's sublane dim must be /8 or equal the array
+    # dim, so chunk is either N itself or a multiple of 8 — N is padded up
+    # to a chunk multiple with all-invalid problems (they converge in zero
+    # rounds: no valid person ever bids, no price ever turns positive).
     pad = lambda v, m: -(-v // m) * m  # noqa: E731
-    bytes_per_problem = pad(Q, 8) * pad(Q, 128) * 4
-    live_buffers = 14
-    budget = 13 * 1024 * 1024
-    chunk = max(1, min(N, budget // (bytes_per_problem * live_buffers)))
-    while N % chunk:
-        chunk -= 1
-    grid = N // chunk
+    bytes_per_problem = pad(P, 8) * pad(Q, 128) * 4
+    live_buffers = 16
+    budget = 14 * 1024 * 1024  # 16 MB scoped-vmem limit minus headroom
+    max_chunk = max(8, budget // (bytes_per_problem * live_buffers))
+    if N <= max_chunk:
+        chunk, N_pad = N, N
+    else:
+        # Balanced cells: smallest cell count whose /8-rounded chunk fits.
+        ncells = -(-N // max_chunk)
+        while True:
+            chunk = pad(-(-N // ncells), 8)
+            if chunk <= max(8, (max_chunk // 8) * 8):
+                break
+            ncells += 1
+        N_pad = pad(N, chunk)
+        benefit = jnp.pad(benefit, ((0, N_pad - N), (0, 0), (0, 0)))
+        valid_in = jnp.pad(valid_in, ((0, N_pad - N), (0, 0)))
+    grid = N_pad // chunk
 
     kernel = functools.partial(
         _auction_kernel,
@@ -373,20 +468,22 @@ def pallas_auction_lap(
         kernel,
         grid=(grid,),
         in_specs=[
-            pl.BlockSpec((chunk, Q, Q), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((chunk, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, P, Q), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (chunk, valid_in.shape[1]), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
         ],
         out_specs=(
-            pl.BlockSpec((chunk, Q), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, P), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((8, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((N, Q), jnp.int32),
+            jax.ShapeDtypeStruct((N_pad, P), jnp.int32),
             jax.ShapeDtypeStruct((grid * 8, 128), jnp.int32),
         ),
         interpret=interpret,
-    )(benefit, n_valid_in)
+    )(benefit, valid_in)
 
-    query_of_gt = jnp.where(gt_valid, obj[:, :G], -1)
+    query_of_gt = jnp.where(gt_valid, obj[:N, :G], -1)
     query_of_gt = jax.vmap(_greedy_complete)(cost, query_of_gt, gt_valid)
     return query_of_gt, jnp.max(iters)

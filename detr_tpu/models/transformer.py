@@ -83,18 +83,28 @@ class MultiHeadAttention(nn.Module):
         if attn_drop > 0.0 and not deterministic:
             dropout_rng = self.make_rng("dropout")
 
-        # Fused Pallas path: deterministic attention without an (L, S) mask
-        # (the dropout train path needs fwd/bwd RNG agreement — XLA handles
-        # it; see detr_tpu/ops/pallas_attention.py).
+        # Fused Pallas path: any attention without an (L, S) attention_mask
+        # (never used by DETR).  Dropout runs inside the kernel from a
+        # counter-based hash mask, so the train path is fused too; the
+        # backward kernel regenerates the identical mask from the seed
+        # (see detr_tpu/ops/pallas_attention.py).
+        from detr_tpu.ops.pallas_attention import pallas_attention_enabled
+
         use_pallas = (
-            cfg.use_pallas_attention
+            pallas_attention_enabled(cfg.use_pallas_attention)
             and attention_mask is None
-            and (deterministic or attn_drop == 0.0)
         )
         if use_pallas:
             from detr_tpu.ops.pallas_attention import pallas_masked_attention
 
-            out = pallas_masked_attention(q, k, v, key_padding_mask)
+            if dropout_rng is not None:
+                rate = attn_drop
+                seed = jax.random.randint(
+                    dropout_rng, (1,), 0, jnp.iinfo(jnp.int32).max, dtype=jnp.int32
+                )
+            else:
+                rate, seed = 0.0, None
+            out = pallas_masked_attention(q, k, v, key_padding_mask, seed, rate)
         else:
             out = scaled_dot_product_attention(
                 q,

@@ -1,11 +1,11 @@
-"""Pallas TPU kernel: padding-masked attention (flash-style, row-block).
+"""Pallas TPU kernels: padding-masked attention, fused forward AND backward.
 
 SURVEY §7 hard part #5: the reference materializes the full (B, H, L, S)
 score tensor in HBM (reference detr/model.py:323-341).  For the DETR-DC5
-config (~4,200 encoder tokens) that's gigabytes per step.  This kernel
-computes attention one query-block at a time entirely in VMEM — scores for a
+config (~4,200 encoder tokens) that's gigabytes per step.  These kernels
+compute attention one query-block at a time entirely in VMEM — scores for a
 (BQ, S) row block never leave the chip — so memory stays flat in S while the
-MXU does the two matmuls per block.
+MXU does the matmuls.
 
 Shape regime: DETR head_dim is 32 and S <= ~4.2k, so a full (BQ, S) score
 row-block (~2 MB fp32 at BQ=128) plus K/V (~0.5 MB) comfortably fit VMEM; a
@@ -17,12 +17,17 @@ Masking matches the reference semantics: key-padding positions are filled
 with the dtype's most-negative value *before* softmax (reference
 detr/model.py:326-330); softmax runs in fp32.
 
-Differentiation: wrapped in ``jax.custom_vjp`` — the backward pass recomputes
-attention with the XLA reference implementation (deterministic, so fwd/bwd
-agree) and takes its VJP.  The kernel is therefore used for deterministic
-attention (eval, and training with attention-dropout 0); the train path with
-attention dropout uses the XLA implementation (dropout RNG must thread
-through fwd+bwd identically).
+Attention-probability dropout (reference detr/model.py:344-346) runs
+*inside* the kernel with the TPU PRNG: the mask is a pure function of
+(seed, bh, q-block), so the backward kernel regenerates the identical mask
+— no (B, H, L, S) mask tensor ever exists in HBM, which is what lets the
+train path use the fused kernel.
+
+Backward: one fused kernel over the same (B*H, L/BQ) grid recomputes the
+probability block, regenerates the dropout mask, and accumulates dK/dV
+across q-block grid steps into a revisited output block (TPU Pallas grids
+execute sequentially, so accumulation across grid steps is well-defined);
+dQ is written per block.  All accumulation in fp32.
 """
 
 from __future__ import annotations
@@ -34,8 +39,6 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
-
-from detr_tpu.ops.attention import scaled_dot_product_attention
 
 Array = jax.Array
 
@@ -50,48 +53,165 @@ def _interpret() -> bool:
         return True
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale: float):
-    # q (1, BQ, D); k/v (1, S, D); mask (1, 1, S) int32 (1 = padded)
-    # Matmul inputs stay in their native (bf16) dtype — the MXU takes bf16
-    # operands with fp32 accumulation; casting operands to fp32 would drop it
-    # into 4x-slower fp32 mode.  Softmax runs in fp32.
-    q = q_ref[0]  # (BQ, D)
-    k = k_ref[0]  # (S, D)
-    v = v_ref[0]
+def pallas_attention_enabled(setting) -> bool:
+    """Resolve ``DETRConfig.use_pallas_attention``: "auto" -> TPU only."""
+    if setting == "auto":
+        return not _interpret()
+    return bool(setting)
 
+
+def _dropout_keep(shape, dropout_rate: float, seed, bh, qi, block_q: int):
+    """Counter-based keep-mask: hash of (seed, head, absolute row, col).
+
+    Deliberately NOT ``pltpu.prng_random_bits``: the hardware PRNG's bit
+    layout is not reproducible across *different* kernels (measured: the
+    backward kernel regenerated a different mask than the forward on
+    unaligned (BQ, S) tiles), while the forward/backward pair here must
+    agree bit-exactly.  A murmur3-finalizer hash over broadcasted iotas is
+    layout-independent, kernel-independent, and works in interpret mode.
+    """
+    row = jax.lax.broadcasted_iota(jnp.uint32, shape, 0) + (qi * block_q).astype(
+        jnp.uint32
+    )
+    col = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+    h = (
+        seed.astype(jnp.uint32) * jnp.uint32(0x9E3779B9)
+        + bh.astype(jnp.uint32) * jnp.uint32(0x85EBCA6B)
+        + row * jnp.uint32(0x27D4EB2F)
+    ) ^ (col * jnp.uint32(0x165667B1))
+    h = h ^ (h >> 16)
+    h = h * jnp.uint32(0x7FEB352D)
+    h = h ^ (h >> 15)
+    h = h * jnp.uint32(0x846CA68B)
+    h = h ^ (h >> 16)
+    # P(keep) = 1 - rate; compare in uint32 space.
+    thresh = jnp.uint32(int(dropout_rate * 4294967296.0) & 0xFFFFFFFF)
+    return h >= thresh
+
+
+def _probs_block(q, k, mask_row, scale: float):
+    """(BQ, S) fp32 softmax probabilities for one query block."""
     scores = jax.lax.dot_general(
         q,
         k,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) * scale  # (BQ, S) fp32
-
     neg = jnp.finfo(jnp.float32).min
-    pad = mask_ref[0]  # (1, S) int32
-    scores = jnp.where(pad > 0, neg, scores)
-
+    scores = jnp.where(mask_row > 0, neg, scores)
     m = jnp.max(scores, axis=1, keepdims=True)
     e = jnp.exp(scores - m)
-    denom = jnp.sum(e, axis=1, keepdims=True)
-    probs = (e / denom).astype(v.dtype)
+    return e / jnp.sum(e, axis=1, keepdims=True)
+
+
+def _fwd_kernel(
+    seed_ref, q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale: float, dropout_rate: float
+):
+    # q (1, BQ, D); k/v (1, S, D); mask (1, 1, S) int32 (1 = padded)
+    # Matmul inputs stay in their native (bf16) dtype — the MXU takes bf16
+    # operands with fp32 accumulation; casting operands to fp32 would drop it
+    # into 4x-slower fp32 mode.  Softmax runs in fp32.
+    probs = _probs_block(q_ref[0], k_ref[0], mask_ref[0], scale)
+
+    if dropout_rate > 0.0:
+        bh, qi = pl.program_id(0), pl.program_id(1)
+        keep = _dropout_keep(
+            probs.shape, dropout_rate, seed_ref[0], bh, qi, block_q=probs.shape[0]
+        )
+        probs = jnp.where(keep, probs * (1.0 / (1.0 - dropout_rate)), 0.0)
 
     out = jax.lax.dot_general(
-        probs,
-        v,
+        probs.astype(v_ref.dtype),
+        v_ref[0],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (BQ, D) fp32 accum
     o_ref[0] = out.astype(o_ref.dtype)
 
 
-def _flash_forward(
-    q: Array, k: Array, v: Array, key_padding_mask: Optional[Array], block_q: int
-) -> Array:
+def _bwd_kernel(
+    seed_ref,
+    q_ref,
+    k_ref,
+    v_ref,
+    mask_ref,
+    g_ref,
+    dq_ref,
+    dk_ref,
+    dv_ref,
+    *,
+    scale: float,
+    dropout_rate: float,
+):
+    qi = pl.program_id(1)
+
+    # dK/dV blocks are revisited across the (sequential) q-block grid steps
+    # for a fixed bh: zero them on the first step, accumulate after.
+    @pl.when(qi == 0)
+    def _():
+        dk_ref[0] = jnp.zeros_like(dk_ref[0])
+        dv_ref[0] = jnp.zeros_like(dv_ref[0])
+
+    q = q_ref[0]  # (BQ, D)
+    k = k_ref[0]  # (S, D)
+    v = v_ref[0]
+    g = g_ref[0].astype(jnp.float32)  # (BQ, D); zero rows on L-padding
+
+    probs = _probs_block(q, k, mask_ref[0], scale)  # (BQ, S) fp32
+
+    if dropout_rate > 0.0:
+        bh = pl.program_id(0)
+        keep = _dropout_keep(
+            probs.shape, dropout_rate, seed_ref[0], bh, qi, block_q=probs.shape[0]
+        )
+        inv = 1.0 / (1.0 - dropout_rate)
+        probs_d = jnp.where(keep, probs * inv, 0.0)
+    else:
+        probs_d = probs
+
+    # dV += P_d^T g
+    dv_ref[0] += jax.lax.dot_general(
+        probs_d,
+        g,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dv_ref.dtype)
+
+    # dP_d = g V^T; back through dropout, then softmax.
+    dp = jax.lax.dot_general(
+        g,
+        v.astype(jnp.float32),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (BQ, S)
+    if dropout_rate > 0.0:
+        dp = jnp.where(keep, dp * inv, 0.0)
+    ds = probs * (dp - jnp.sum(probs * dp, axis=1, keepdims=True))  # (BQ, S)
+
+    # dQ = dS K * scale ; dK += dS^T Q * scale
+    dq = jax.lax.dot_general(
+        ds.astype(k.dtype),
+        k,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+    dk_ref[0] += (
+        jax.lax.dot_general(
+            ds.astype(q.dtype),
+            q,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        * scale
+    ).astype(dk_ref.dtype)
+
+
+def _prep(q, k, v, key_padding_mask, block_q):
+    """Fold heads into batch, pad L to the block size, build the mask."""
     B, Lq, H, D = q.shape
     S = k.shape[1]
-    scale = 1.0 / (D**0.5)
 
-    # (B, L, H, D) -> (B*H, L, D)
     def fold(x, L):
         return jnp.transpose(x, (0, 2, 1, 3)).reshape(B * H, L, x.shape[-1])
 
@@ -108,68 +228,140 @@ def _flash_forward(
     # one mask row per (b, h) program; 3D so the (1, S) block
     # satisfies Mosaic's last-two-dims tiling rule
     maskf = jnp.repeat(mask, H, axis=0).reshape(B * H, 1, S)
+    return qf, kf, vf, maskf, Lq_pad
 
+
+def _grid_specs(B, H, Lq_pad, S, D, block_q):
     grid = (B * H, Lq_pad // block_q)
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # seed (1,) int32
+        pl.BlockSpec(
+            (1, block_q, D), lambda bh, qi: (bh, qi, 0), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec((1, S, D), lambda bh, qi: (bh, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, S, D), lambda bh, qi: (bh, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, S), lambda bh, qi: (bh, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    return grid, in_specs
+
+
+def _flash_forward(
+    q: Array,
+    k: Array,
+    v: Array,
+    key_padding_mask: Optional[Array],
+    seed: Array,
+    dropout_rate: float,
+    block_q: int,
+) -> Array:
+    B, Lq, H, D = q.shape
+    S = k.shape[1]
+    scale = 1.0 / (D**0.5)
+    qf, kf, vf, maskf, Lq_pad = _prep(q, k, v, key_padding_mask, block_q)
+    grid, in_specs = _grid_specs(B, H, Lq_pad, S, D, block_q)
+
     out = pl.pallas_call(
-        functools.partial(_attn_kernel, scale=scale),
+        functools.partial(_fwd_kernel, scale=scale, dropout_rate=dropout_rate),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec(
-                (1, block_q, D), lambda bh, qi: (bh, qi, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec((1, S, D), lambda bh, qi: (bh, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, S, D), lambda bh, qi: (bh, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (1, 1, S), lambda bh, qi: (bh, 0, 0), memory_space=pltpu.VMEM
-            ),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (1, block_q, D), lambda bh, qi: (bh, qi, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((B * H, Lq_pad, D), q.dtype),
         interpret=_interpret(),
-    )(qf, kf, vf, maskf)
+    )(seed, qf, kf, vf, maskf)
 
     out = out[:, :Lq].reshape(B, H, Lq, D)
     return jnp.transpose(out, (0, 2, 1, 3))  # (B, Lq, H, D)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _flash_backward(
+    q: Array,
+    k: Array,
+    v: Array,
+    key_padding_mask: Optional[Array],
+    seed: Array,
+    g: Array,
+    dropout_rate: float,
+    block_q: int,
+) -> tuple[Array, Array, Array]:
+    B, Lq, H, D = q.shape
+    S = k.shape[1]
+    scale = 1.0 / (D**0.5)
+    qf, kf, vf, maskf, Lq_pad = _prep(q, k, v, key_padding_mask, block_q)
+    gf, _, _, _, _ = _prep(g, k, v, None, block_q)  # zero-padded like q
+    grid, in_specs = _grid_specs(B, H, Lq_pad, S, D, block_q)
+    in_specs = in_specs + [
+        pl.BlockSpec(
+            (1, block_q, D), lambda bh, qi: (bh, qi, 0), memory_space=pltpu.VMEM
+        ),
+    ]
+
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_bwd_kernel, scale=scale, dropout_rate=dropout_rate),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec(
+                (1, block_q, D), lambda bh, qi: (bh, qi, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((1, S, D), lambda bh, qi: (bh, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S, D), lambda bh, qi: (bh, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B * H, Lq_pad, D), jnp.float32),
+            jax.ShapeDtypeStruct((B * H, S, D), jnp.float32),
+            jax.ShapeDtypeStruct((B * H, S, D), jnp.float32),
+        ),
+        interpret=_interpret(),
+    )(seed, qf, kf, vf, maskf, gf)
+
+    def unfold(x, L, Lp):
+        x = x[:, :L].reshape(B, H, L, D)
+        return jnp.transpose(x, (0, 2, 1, 3))
+
+    return (
+        unfold(dq, Lq, Lq_pad).astype(q.dtype),
+        unfold(dk, S, S).astype(k.dtype),
+        unfold(dv, S, S).astype(v.dtype),
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
 def pallas_masked_attention(
     q: Array,
     k: Array,
     v: Array,
     key_padding_mask: Optional[Array] = None,
+    seed: Optional[Array] = None,
+    dropout_rate: float = 0.0,
     block_q: int = _DEF_BQ,
 ) -> Array:
-    """Deterministic padding-masked MHA core, (B, L, H, D) in/out.
+    """Padding-masked MHA core with fused kernels, (B, L, H, D) in/out.
 
-    Numerically equivalent (fp32 softmax) to
-    ``scaled_dot_product_attention(..., deterministic=True)``.
+    With ``dropout_rate == 0`` this is numerically equivalent (fp32 softmax)
+    to ``scaled_dot_product_attention(..., deterministic=True)``.  With
+    dropout the keep-mask comes from the TPU PRNG seeded by ``seed`` (an
+    int32 scalar array); forward and backward regenerate the identical mask.
     """
-    return _flash_forward(q, k, v, key_padding_mask, block_q)
+    if seed is None:
+        seed = jnp.zeros((1,), jnp.int32)
+    return _flash_forward(q, k, v, key_padding_mask, seed, dropout_rate, block_q)
 
 
-def _fwd(q, k, v, key_padding_mask, block_q):
-    return _flash_forward(q, k, v, key_padding_mask, block_q), (
-        q,
-        k,
-        v,
-        key_padding_mask,
+def _fwd(q, k, v, key_padding_mask, seed, dropout_rate, block_q):
+    if seed is None:
+        seed = jnp.zeros((1,), jnp.int32)
+    out = _flash_forward(q, k, v, key_padding_mask, seed, dropout_rate, block_q)
+    return out, (q, k, v, key_padding_mask, seed)
+
+
+def _bwd(dropout_rate, block_q, residuals, g):
+    q, k, v, key_padding_mask, seed = residuals
+    dq, dk, dv = _flash_backward(
+        q, k, v, key_padding_mask, seed, g, dropout_rate, block_q
     )
-
-
-def _bwd(block_q, residuals, g):
-    q, k, v, key_padding_mask = residuals
-
-    def ref(q, k, v):
-        return scaled_dot_product_attention(
-            q, k, v, key_padding_mask=key_padding_mask, deterministic=True
-        )
-
-    _, vjp = jax.vjp(ref, q, k, v)
-    dq, dk, dv = vjp(g)
-    return dq, dk, dv, None
+    return dq, dk, dv, None, None
 
 
 pallas_masked_attention.defvjp(_fwd, _bwd)

@@ -46,12 +46,26 @@ def plot(
     boxes: Optional[np.ndarray] = None,
     class_names: Optional[Sequence[str]] = None,
     scores: Optional[np.ndarray] = None,
+    masks: Optional[np.ndarray] = None,
     box_color: str = "red",
     width: int = 2,
     font_size: int = 12,
+    mask_color: tuple[int, int, int] = (0, 128, 0),
+    mask_alpha: float = 0.65,
 ) -> np.ndarray:
-    """Draw XYXY pixel boxes + labels on one image; returns RGB uint8 HWC."""
-    img = Image.fromarray(_denormalize(np.asarray(image)))
+    """Draw XYXY pixel boxes + labels on one image; returns RGB uint8 HWC.
+
+    ``masks`` is (N, H, W) boolean — overlaid at ``mask_alpha`` like the
+    reference's ``draw_segmentation_masks`` call (visualize.py:87-93)."""
+    base = _denormalize(np.asarray(image))
+    if masks is not None:
+        masks = np.asarray(masks).astype(bool)
+        union = masks.any(axis=0) if masks.ndim == 3 else masks
+        blended = base.astype(np.float32)
+        color = np.asarray(mask_color, np.float32)
+        blended[union] = (1.0 - mask_alpha) * blended[union] + mask_alpha * color
+        base = blended.astype(np.uint8)
+    img = Image.fromarray(base)
     draw = ImageDraw.Draw(img)
     if boxes is not None:
         for i, box in enumerate(np.asarray(boxes).reshape(-1, 4)):
@@ -86,6 +100,7 @@ def plot_grid(
             it.get("boxes"),
             it.get("class_names"),
             it.get("scores"),
+            it.get("masks"),
             box_color=box_color,
             font_size=font_size,
         )

@@ -1,7 +1,7 @@
 """Pallas kernels in interpreter mode (CPU): parity with the XLA reference
 
-implementations — the correctness-diffing fallback SURVEY §7 hard part #5
-calls for."""
+implementations and an fp64 host oracle — the correctness-diffing fallback
+SURVEY §7 hard part #5 calls for."""
 
 import jax
 import jax.numpy as jnp
@@ -11,7 +11,7 @@ from scipy.optimize import linear_sum_assignment
 
 from detr_tpu.matcher.pallas_auction import pallas_auction_lap
 from detr_tpu.ops.attention import scaled_dot_product_attention
-from detr_tpu.ops.pallas_attention import _flash_forward
+from detr_tpu.ops.pallas_attention import pallas_masked_attention
 
 
 @pytest.mark.parametrize("kind", ["random", "contentious"])
@@ -44,6 +44,45 @@ def test_pallas_auction_matches_scipy(rng, kind):
         assert err < 2e-3 * nv, (kind, n, err)
 
 
+def test_pallas_auction_flagship_shape(rng):
+    """DETR's real (Q=100, G_max=25) rectangular shape, ragged validity."""
+    N, Q, G = 4, 100, 25
+    cost = rng.normal(size=(N, Q, G)).astype(np.float32) * 3
+    valid = rng.random((N, G)) < 0.7
+    qog, _ = pallas_auction_lap(jnp.asarray(cost), jnp.asarray(valid), interpret=True)
+    qog = np.asarray(qog)
+    for n in range(N):
+        vc = np.flatnonzero(valid[n])
+        if len(vc) == 0:
+            assert (qog[n] == -1).all()
+            continue
+        assert len(np.unique(qog[n, vc])) == len(vc)
+        rows, cols = linear_sum_assignment(cost[n][:, vc])
+        err = cost[n][qog[n, vc], vc].sum() - cost[n][rows, vc[cols]].sum()
+        assert err < 2e-3 * len(vc), (n, err)
+
+
+def test_pallas_auction_chunked_grid(rng):
+    """N that doesn't fit one VMEM chunk at G_max=Q exercises the multi-cell
+    grid with batch padding (regression: chunk=15 broke Mosaic's sublane
+    divisibility when N had no /8 divisor under the VMEM budget)."""
+    N, Q, G = 30, 100, 100  # trainer-smoke shapes: batch 5 x 6 layers
+    cost = rng.normal(size=(N, Q, G)).astype(np.float32) * 3
+    nval = rng.integers(0, 12, size=N)
+    valid = np.arange(G)[None, :] < nval[:, None]
+    qog, _ = pallas_auction_lap(jnp.asarray(cost), jnp.asarray(valid), interpret=True)
+    qog = np.asarray(qog)
+    for n in range(N):
+        vc = np.flatnonzero(valid[n])
+        if len(vc) == 0:
+            assert (qog[n] == -1).all()
+            continue
+        assert len(np.unique(qog[n, vc])) == len(vc)
+        rows, cols = linear_sum_assignment(cost[n][:, vc])
+        err = cost[n][qog[n, vc], vc].sum() - cost[n][rows, vc[cols]].sum()
+        assert err < 2e-3 * max(1, len(vc)), (n, err)
+
+
 def test_pallas_attention_matches_xla(rng):
     B, L, S, H, D = 2, 48, 40, 4, 32
     q = jnp.asarray(rng.normal(size=(B, L, H, D)).astype(np.float32))
@@ -52,7 +91,7 @@ def test_pallas_attention_matches_xla(rng):
     mask = np.zeros((B, S), bool)
     mask[0, 30:] = True
 
-    ours = _flash_forward(q, k, v, jnp.asarray(mask), block_q=16)
+    ours = pallas_masked_attention(q, k, v, jnp.asarray(mask), None, 0.0, 16)
     ref = scaled_dot_product_attention(
         q, k, v, key_padding_mask=jnp.asarray(mask), deterministic=True
     )
@@ -64,6 +103,124 @@ def test_pallas_attention_no_mask_and_ragged_L(rng):
     B, L, S, H, D = 1, 37, 40, 2, 32
     q = jnp.asarray(rng.normal(size=(B, L, H, D)).astype(np.float32))
     kv = jnp.asarray(rng.normal(size=(B, S, H, D)).astype(np.float32))
-    ours = _flash_forward(q, kv, kv, None, block_q=16)
+    ours = pallas_masked_attention(q, kv, kv, None, None, 0.0, 16)
     ref = scaled_dot_product_attention(q, kv, kv, deterministic=True)
     np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=2e-5)
+
+
+def test_pallas_attention_backward_matches_xla(rng):
+    """Fused backward kernel vs the XLA reference VJP (deterministic)."""
+    B, L, S, H, D = 2, 32, 40, 2, 32
+    q = jnp.asarray(rng.normal(size=(B, L, H, D)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(B, S, H, D)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B, S, H, D)).astype(np.float32))
+    g = jnp.asarray(rng.normal(size=(B, L, H, D)).astype(np.float32))
+    mask = np.zeros((B, S), bool)
+    mask[1, 25:] = True
+    mask = jnp.asarray(mask)
+
+    _, vjp_p = jax.vjp(
+        lambda q, k, v: pallas_masked_attention(q, k, v, mask, None, 0.0, 16), q, k, v
+    )
+    _, vjp_r = jax.vjp(
+        lambda q, k, v: scaled_dot_product_attention(
+            q, k, v, key_padding_mask=mask, deterministic=True
+        ),
+        q,
+        k,
+        v,
+    )
+    for ours, ref in zip(vjp_p(g), vjp_r(g)):
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=5e-5)
+
+
+def _host_keep(shape, rate, seed, bh, qi, block):
+    """numpy reimplementation of the kernel's counter-based dropout hash."""
+    row = (np.arange(shape[0], dtype=np.uint64)[:, None] + qi * block) * np.uint64(
+        0x27D4EB2F
+    )
+    col = np.arange(shape[1], dtype=np.uint64)[None, :] * np.uint64(0x165667B1)
+    h = (
+        np.uint64(seed) * np.uint64(0x9E3779B9)
+        + np.uint64(bh) * np.uint64(0x85EBCA6B)
+        + row
+    ) & np.uint64(0xFFFFFFFF)
+    h = (h ^ (col & np.uint64(0xFFFFFFFF))) & np.uint64(0xFFFFFFFF)
+    for sh, mul in [(16, 0x7FEB352D), (15, 0x846CA68B), (16, None)]:
+        h = (h ^ (h >> np.uint64(sh))) & np.uint64(0xFFFFFFFF)
+        if mul:
+            h = (h * np.uint64(mul)) & np.uint64(0xFFFFFFFF)
+    return h >= (int(rate * 4294967296.0) & 0xFFFFFFFF)
+
+
+def test_pallas_attention_dropout_fp64_oracle(rng):
+    """Dropout fwd AND fused bwd vs an exact fp64 host reference.
+
+    The keep-mask is a pure function of (seed, head, row, col), so the host
+    can reproduce it exactly; forward/backward must both agree with the
+    oracle (which also proves fwd and bwd regenerate the same mask).
+    """
+    B, L, S, H, D = 2, 16, 40, 2, 32
+    BQ, rate, seed_val = 16, 0.1, 1234
+    qn = rng.normal(size=(B, L, H, D)).astype(np.float32)
+    kn = rng.normal(size=(B, S, H, D)).astype(np.float32)
+    vn = rng.normal(size=(B, S, H, D)).astype(np.float32)
+    gn = rng.normal(size=(B, L, H, D)).astype(np.float32)
+    maskn = np.zeros((B, S), bool)
+    maskn[0, 30:] = True
+
+    scale = 1 / np.sqrt(D)
+    out_h = np.zeros_like(qn, np.float64)
+    dq_h = np.zeros_like(qn, np.float64)
+    dk_h = np.zeros_like(kn, np.float64)
+    dv_h = np.zeros_like(vn, np.float64)
+    for b in range(B):
+        for h_ in range(H):
+            bh = b * H + h_
+            qq = qn[b, :, h_, :].astype(np.float64)
+            kk = kn[b, :, h_, :].astype(np.float64)
+            vv = vn[b, :, h_, :].astype(np.float64)
+            gg = gn[b, :, h_, :].astype(np.float64)
+            s = qq @ kk.T * scale
+            s[:, maskn[b]] = np.finfo(np.float32).min
+            e = np.exp(s - s.max(1, keepdims=True))
+            p = e / e.sum(1, keepdims=True)
+            keep = _host_keep((L, S), rate, seed_val, bh, 0, BQ)
+            pd = np.where(keep, p / (1 - rate), 0.0)
+            out_h[b, :, h_, :] = pd @ vv
+            dv_h[b, :, h_, :] = pd.T @ gg
+            dpd = np.where(keep, (gg @ vv.T) / (1 - rate), 0.0)
+            ds = p * (dpd - (p * dpd).sum(1, keepdims=True))
+            dq_h[b, :, h_, :] = ds @ kk * scale
+            dk_h[b, :, h_, :] = ds.T @ qq * scale
+
+    q, k, v = map(jnp.asarray, (qn, kn, vn))
+    mask = jnp.asarray(maskn)
+    seed = jnp.array([seed_val], jnp.int32)
+    out, vjp = jax.vjp(
+        lambda q, k, v: pallas_masked_attention(q, k, v, mask, seed, rate, BQ), q, k, v
+    )
+    dq, dk, dv = vjp(jnp.asarray(gn))
+    np.testing.assert_allclose(np.asarray(out), out_h, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dq), dq_h, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(dk), dk_h, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(dv), dv_h, atol=1e-4)
+
+
+def test_pallas_attention_dropout_determinism(rng):
+    B, L, S, H, D = 1, 16, 24, 2, 32
+    q = jnp.asarray(rng.normal(size=(B, L, H, D)).astype(np.float32))
+    kv = jnp.asarray(rng.normal(size=(B, S, H, D)).astype(np.float32))
+    s1, s2 = jnp.array([7], jnp.int32), jnp.array([8], jnp.int32)
+    o1 = pallas_masked_attention(q, kv, kv, None, s1, 0.3, 16)
+    o2 = pallas_masked_attention(q, kv, kv, None, s1, 0.3, 16)
+    o3 = pallas_masked_attention(q, kv, kv, None, s2, 0.3, 16)
+    assert bool(jnp.all(o1 == o2))
+    assert bool(jnp.any(o1 != o3))
+
+
+def test_dropout_keep_rate():
+    """The hash mask's keep rate is ~(1 - p) over a large tile."""
+    rate = 0.25
+    keep = _host_keep((512, 512), rate, 42, 3, 1, 128)
+    assert abs(keep.mean() - (1 - rate)) < 0.01
