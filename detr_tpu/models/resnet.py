@@ -66,6 +66,70 @@ class FrozenBatchNorm(nn.Module):
         return x * scale + bias
 
 
+class _StemConv(nn.Module):
+    """conv1 (7x7 stride-2 pad-3, C_in=3) with a space-to-depth fast path.
+
+    The MLPerf-ResNet transform (zero-pad the kernel to 8x8, space-to-depth
+    the input by 2x2, run an equivalent 4x4 stride-1 VALID conv over 12
+    channels) computes the identical linear map — verified to fp32 tolerance
+    in tests/test_model.py.
+
+    **Measured OFF by default on v5e**: profiling flagged conv1's
+    forward + weight-gradient at ~5.3 ms of a 47.8 ms train step, but the
+    A/B came out 155.1 vs 164.3 img/s — XLA:TPU already lowers the C_in=3
+    stem through a specialized packed emitter
+    (EmitAllInputFeaturePackedInSublanesOutputBatchInSublanes), and the
+    (403, 403, 12) s2d layout wastes lanes instead.  The path is kept,
+    tested, and config-switchable for other TPU generations/XLA versions.
+
+    The parameter KEEPS the reference (7, 7, 3, 64) HWIO layout — checkpoint
+    trees, torchvision weight conversion (models/convert.py), and backbone
+    goldens are unaffected; the reshape to (4, 4, 12, 64) happens at apply
+    time and XLA constant-folds it per step.
+    """
+
+    dtype: str = "bfloat16"
+    space_to_depth: bool = False
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        kernel = self.param(
+            "kernel", nn.initializers.he_normal(), (7, 7, 3, 64), jnp.float32
+        )
+        kernel = kernel.astype(jnp.dtype(self.dtype))
+        B, H, W, C = x.shape
+        dn = jax.lax.conv_dimension_numbers(
+            x.shape, kernel.shape, ("NHWC", "HWIO", "NHWC")
+        )
+        if not (self.space_to_depth and H % 2 == 0 and W % 2 == 0 and C == 3):
+            return jax.lax.conv_general_dilated(
+                x, kernel, (2, 2), [(3, 3), (3, 3)], dimension_numbers=dn
+            )
+        # Output pixel o of the 7x7/s2/p3 conv reads padded-input rows
+        # 2o..2o+6; with the kernel zero-padded to 8x8 that window is exactly
+        # 4 consecutive 2-pixel blocks of the (3,3)-padded input, stride one
+        # block.  So: pad -> s2d(2) -> 4x4 VALID conv, outputs identical.
+        xp = jnp.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0)))
+        Hp, Wp = H + 6, W + 6
+        xs = (
+            xp.reshape(B, Hp // 2, 2, Wp // 2, 2, C)
+            .transpose(0, 1, 3, 2, 4, 5)
+            .reshape(B, Hp // 2, Wp // 2, 4 * C)
+        )
+        k8 = jnp.pad(kernel, ((0, 1), (0, 1), (0, 0), (0, 0)))  # (8,8,3,64)
+        ks = (
+            k8.reshape(4, 2, 4, 2, 3, 64)
+            .transpose(0, 2, 1, 3, 4, 5)
+            .reshape(4, 4, 12, 64)
+        )
+        dn = jax.lax.conv_dimension_numbers(
+            xs.shape, ks.shape, ("NHWC", "HWIO", "NHWC")
+        )
+        return jax.lax.conv_general_dilated(
+            xs, ks, (1, 1), "VALID", dimension_numbers=dn
+        )
+
+
 def _conv(features: int, kernel: int, stride: int = 1, dilation: int = 1, *, dtype, name: str):
     pad = dilation * (kernel - 1) // 2
     return nn.Conv(
@@ -126,6 +190,9 @@ class ResNetBackbone(nn.Module):
     backbone: str = "resnet50"
     dilation: bool = False
     dtype: str = "bfloat16"
+    # See _StemConv: exact s2d stem transform, measured slower on v5e
+    # (XLA's packed stem emitter wins); switchable for other targets.
+    stem_space_to_depth: bool = False
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -135,7 +202,9 @@ class ResNetBackbone(nn.Module):
         blocks: Sequence[int] = _STAGES[self.backbone]
         x = x.astype(jnp.dtype(self.dtype))
 
-        x = _conv(64, 7, 2, dtype=self.dtype, name="conv1")(x)
+        x = _StemConv(
+            dtype=self.dtype, space_to_depth=self.stem_space_to_depth, name="conv1"
+        )(x)
         x = FrozenBatchNorm(64, dtype=self.dtype, name="bn1")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])

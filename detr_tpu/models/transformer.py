@@ -37,6 +37,7 @@ from flax import linen as nn
 
 from detr_tpu.config import DETRConfig
 from detr_tpu.ops.attention import scaled_dot_product_attention
+from detr_tpu.ops.dropout import hash_dropout
 
 Array = jax.Array
 
@@ -119,8 +120,12 @@ class MultiHeadAttention(nn.Module):
         out = out.reshape(B, L, cfg.hidden_size)
 
         out = dense("output_proj")(out)
-        out = nn.Dropout(rate=cfg.hidden_dropout_prob)(
-            out, deterministic=deterministic
+        rate = cfg.hidden_dropout_prob
+        out = hash_dropout(
+            out,
+            rate,
+            self.make_rng("dropout") if (rate > 0.0 and not deterministic) else None,
+            deterministic,
         )
         return out
 
@@ -142,7 +147,11 @@ class FFN(nn.Module):
             name="fc1",
         )(x)
         x = nn.gelu(x, approximate=True)  # GELU(tanh), reference model.py:377,407
-        x = nn.Dropout(rate=cfg.hidden_dropout_prob)(x, deterministic=deterministic)
+        rate = cfg.hidden_dropout_prob
+        rng = lambda: (  # noqa: E731
+            self.make_rng("dropout") if (rate > 0.0 and not deterministic) else None
+        )
+        x = hash_dropout(x, rate, rng(), deterministic)
         x = nn.Dense(
             cfg.hidden_size,
             dtype=dtype,
@@ -150,7 +159,7 @@ class FFN(nn.Module):
             kernel_init=_normal_init(cfg.initializer_range),
             name="fc2",
         )(x)
-        x = nn.Dropout(rate=cfg.hidden_dropout_prob)(x, deterministic=deterministic)
+        x = hash_dropout(x, rate, rng(), deterministic)
         return x
 
 

@@ -70,6 +70,16 @@ class CheckpointManager:
         )
         return new_state, restored.get("extra", {})
 
+    def restore_payload(self, step: Optional[int] = None) -> dict:
+        """Raw saved tree without a state template — for consumers that only
+
+        need weights (e.g. the serving engine, which has no optimizer state
+        to template against)."""
+        step = self.latest_step() if step is None else step
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint under {self.directory}")
+        return self._mgr.restore(step)
+
     def restore_params_only(self, state: Any, step: Optional[int] = None) -> Any:
         """Weights-only resume (reference detr/train.py:222-236): params (and
 

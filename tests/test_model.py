@@ -136,6 +136,25 @@ def test_param_count_parity():
     assert 39e6 < n < 43e6, f"param count {n/1e6:.2f}M out of expected range"
 
 
+def test_stem_space_to_depth_equivalence():
+    """The s2d fast-path stem must reproduce the plain 7x7/s2/p3 conv
+    exactly (same (7,7,3,64) param; see models/resnet.py::_StemConv)."""
+    from detr_tpu.models.resnet import _StemConv
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 64, 96, 3)).astype(np.float32))
+    fast = _StemConv(dtype="float32", space_to_depth=True)
+    ref = _StemConv(dtype="float32", space_to_depth=False)
+    v = fast.init(jax.random.PRNGKey(0), x)
+    a, b = fast.apply(v, x), ref.apply(v, x)
+    assert a.shape == b.shape == (2, 32, 48, 64)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-5)
+    # Odd spatial size falls back to the plain conv (no wrong-shape crash).
+    x_odd = jnp.asarray(rng.normal(size=(1, 63, 96, 3)).astype(np.float32))
+    v_odd = fast.init(jax.random.PRNGKey(0), x_odd)
+    assert fast.apply(v_odd, x_odd).shape == (1, 32, 48, 64)
+
+
 def test_resnet_output_stride():
     feats = jax.eval_shape(
         lambda v, x: ResNetBackbone(dtype="float32").apply(v, x),

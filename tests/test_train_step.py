@@ -27,7 +27,7 @@ TINY = DETRConfig(
 )
 
 
-def make_setup(accum_batches=1, batch_size=2):
+def make_setup(accum_batches=1, batch_size=2, config=TINY):
     tc = TrainingConfig(
         cumulative_train_batch_size=batch_size * accum_batches,
         train_batch_size=batch_size,
@@ -35,8 +35,8 @@ def make_setup(accum_batches=1, batch_size=2):
         lr_warmup_epochs=1,
         lr_hold_max_epochs=2,
     )
-    model = DETR(TINY)
-    criterion = build_criterion(tc, TINY)
+    model = DETR(config)
+    criterion = build_criterion(tc, config)
     tx, _ = build_optimizer(tc)
     rng = np.random.default_rng(0)
     batch = synthetic_batch(rng, batch_size, 64, 64, max_gt=5, num_classes=7)
@@ -87,7 +87,14 @@ def test_gradient_accumulation_defers_updates():
 
 
 def test_loss_decreases_on_repeated_batch():
-    state, step, batch = make_setup()
+    # Dropout off: with it on, 8 tiny steps are dominated by mask noise and
+    # the assertion is a coin flip on the RNG stream.
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        TINY, hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0
+    )
+    state, step, batch = make_setup(config=cfg)
     losses = []
     for _ in range(8):
         state, metrics = step(state, batch)
