@@ -238,6 +238,7 @@ def train_DETR(
                 limit_val_iters=config.limit_val_iters,
                 global_step=global_step,
                 log_images=(epoch % max(config.save_image_epochs, 1) == 0),
+                mesh=mesh,
             )
             logger.info(
                 "Validation [epoch %d]: AP %.3f AP50 %.3f",
@@ -276,13 +277,21 @@ def run_validation(
     limit_val_iters: int = 0,
     global_step: int = 0,
     log_images: bool = True,
+    mesh=None,
 ) -> dict:
     """Validation loop (reference detr/train.py:358-458): loss averaging
 
     weighted by image count (loader padding excluded from the loss by the
     criterion via ``image_valid``), PostProcess on the LAST decoder layer
     only, COCO mAP, and first-batch GT/pred image grids (gated by
-    ``save_image_epochs`` via ``log_images``)."""
+    ``save_image_epochs`` via ``log_images``).
+
+    Unlike the reference — explicitly "written without consideration for
+    distributed multi-GPU training" (detr/train.py:367) — this loop is
+    mesh-aware: pass the training ``Mesh`` and each fixed-shape eval batch
+    is sharded along the data axis (the eval loader always emits full
+    batches, padding the tail), the forward runs data-parallel under GSPMD,
+    and the host pulls gather the per-device results for PostProcess/mAP."""
     eval_step, state = model_state
     post_process = PostProcess(class_names)
     metrics = DetectionMetrics(class_names)
@@ -296,6 +305,8 @@ def run_validation(
         device_batch = {
             k: jnp.asarray(v) for k, v in batch.items() if k != "pad_count"
         }
+        if mesh is not None and device_batch["image"].shape[0] % mesh.size == 0:
+            device_batch = shard_batch(device_batch, mesh)
         outputs, loss_dict = eval_step(state.params, state.frozen, device_batch)
 
         n_img = device_batch["image"].shape[0] - pad

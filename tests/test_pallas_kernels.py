@@ -219,6 +219,85 @@ def test_pallas_attention_dropout_determinism(rng):
     assert bool(jnp.any(o1 != o3))
 
 
+def test_blocked_backward_matches_single_kernel(rng):
+    """The S-blocked two-kernel flash backward (DC5 path) must reproduce the
+    single-kernel backward's gradients — dropout ON so the absolute-coord
+    mask regeneration across (qj, si) tiles is exercised too."""
+    import detr_tpu.ops.pallas_attention as pa
+
+    B, L, S, H, D = 2, 40, 72, 2, 32
+    BQ, BS = 16, 24
+    q = jnp.asarray(rng.normal(size=(B, L, H, D)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(B, S, H, D)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B, S, H, D)).astype(np.float32))
+    g = jnp.asarray(rng.normal(size=(B, L, H, D)).astype(np.float32))
+    mask = jnp.asarray(rng.random((B, S)) < 0.2)
+    seed = jnp.array([11], jnp.int32)
+    rate = 0.3
+
+    out, lse = pa._flash_forward(q, k, v, mask, seed, rate, BQ)
+    dq1, dk1, dv1 = pa._flash_backward(q, k, v, mask, seed, g, rate, BQ)
+    dq2, dk2, dv2 = pa._flash_backward_blocked(
+        q, k, v, mask, seed, g, out, lse, rate, BQ, block_s=BS
+    )
+    np.testing.assert_allclose(np.asarray(dq1), np.asarray(dq2), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(dk1), np.asarray(dk2), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(dv1), np.asarray(dv2), atol=2e-4)
+
+
+def test_blocked_backward_dispatch(rng, monkeypatch):
+    """Above the S threshold jax.grad routes through the blocked kernels and
+    still matches the XLA reference gradient (deterministic path)."""
+    import detr_tpu.ops.pallas_attention as pa
+
+    monkeypatch.setattr(pa, "_BWD_SINGLE_MAX_S", 32)
+    monkeypatch.setattr(pa, "_DEF_BS", 24)
+    B, L, S, H, D = 1, 24, 48, 2, 32
+    q = jnp.asarray(rng.normal(size=(B, L, H, D)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(B, S, H, D)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B, S, H, D)).astype(np.float32))
+    mask = jnp.asarray(rng.random((B, S)) < 0.2)
+
+    def f_pallas(q, k, v):
+        return jnp.sum(pallas_masked_attention(q, k, v, mask, None, 0.0, 8) ** 2)
+
+    def f_ref(q, k, v):
+        return jnp.sum(
+            scaled_dot_product_attention(q, k, v, key_padding_mask=mask) ** 2
+        )
+
+    gp = jax.grad(f_pallas, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gp, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+def test_pallas_attention_dropout_block_size_invariance(rng):
+    """The hash mask is a function of ABSOLUTE (row, col), so the fwd output
+    must not depend on block_q — the property that lets the backward pick a
+    smaller VMEM-fitting block than the forward (DC5 S=4.2k regression)."""
+    B, L, S, H, D = 1, 32, 24, 2, 32
+    q = jnp.asarray(rng.normal(size=(B, L, H, D)).astype(np.float32))
+    kv = jnp.asarray(rng.normal(size=(B, S, H, D)).astype(np.float32))
+    s = jnp.array([9], jnp.int32)
+    o16 = pallas_masked_attention(q, kv, kv, None, s, 0.3, 16)
+    o8 = pallas_masked_attention(q, kv, kv, None, s, 0.3, 8)
+    np.testing.assert_allclose(np.asarray(o16), np.asarray(o8), atol=1e-6)
+
+
+def test_bwd_block_q_sizing():
+    """R50 token counts keep BQ=128; DC5 shrinks to fit the 16MB scoped
+    VMEM (measured 18.37MB OOM at BQ=128, S=4200)."""
+    from detr_tpu.ops.pallas_attention import _bwd_block_q
+
+    assert _bwd_block_q(128, 625, 32) == 128   # R50 encoder
+    assert _bwd_block_q(128, 1050, 32) == 128  # R50 @ 800x1333
+    bq_dc5 = _bwd_block_q(128, 4200, 32)
+    assert bq_dc5 < 128 and bq_dc5 % 8 == 0
+    # calibrated stack model stays under the 16MB scoped limit
+    assert bq_dc5 * 4200 * 4 * 8 + 4200 * 32 * 12 < 16 * 1024 * 1024
+
+
 def test_dropout_keep_rate():
     """The hash mask's keep rate is ~(1 - p) over a large tile."""
     rate = 0.25

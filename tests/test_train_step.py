@@ -102,6 +102,37 @@ def test_loss_decreases_on_repeated_batch():
     assert losses[-1] < losses[0], losses
 
 
+def test_multi_device_validation_parity():
+    """run_validation over an 8-device mesh must reproduce the un-meshed
+    run exactly (loss dict and mAP) — the reference's eval is explicitly
+    single-process (detr/train.py:367); ours is mesh-aware."""
+    from detr_tpu.train.train_step import make_eval_step
+    from detr_tpu.train.trainer import run_validation
+
+    assert jax.device_count() >= 8
+    state, _, _ = make_setup(batch_size=8)
+    model = DETR(TINY)
+    tc = TrainingConfig(cumulative_train_batch_size=8, train_batch_size=8)
+    criterion = build_criterion(tc, TINY)
+    eval_step = make_eval_step(model, criterion)
+
+    rng = np.random.default_rng(3)
+    batches = []
+    for _ in range(2):
+        b = synthetic_batch(rng, 8, 64, 64, max_gt=5, num_classes=7)
+        b["image_valid"] = np.ones(8, bool)
+        b["pad_count"] = np.int32(0)
+        batches.append(b)
+    names = [f"c{i}" for i in range(7)]
+
+    plain = run_validation((eval_step, state), batches, names)
+    mesh = make_mesh(8)
+    state_m = shard_state(state, mesh)
+    meshed = run_validation((eval_step, state_m), batches, names, mesh=mesh)
+    for k in plain:
+        assert meshed[k] == pytest.approx(plain[k], rel=1e-4, abs=1e-6), k
+
+
 def test_multi_device_data_parallel():
     assert jax.device_count() >= 8, "conftest must provide 8 virtual devices"
     mesh = make_mesh(8)
