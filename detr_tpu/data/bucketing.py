@@ -93,6 +93,13 @@ def assemble_batch(
     for b, (img, t) in enumerate(items):
         h, w = img.shape[:2]
         assert h <= bh and w <= bw, f"image ({h},{w}) exceeds bucket {bucket}"
+        if img.dtype == np.uint8:
+            # Transform deferred normalization to collate (4x less worker
+            # IPC); padding stays exactly 0 like the reference's
+            # pad-after-normalize (detr/data.py:199-203).
+            from detr_tpu.data.transforms import normalize
+
+            img = normalize(img)
         batch["image"][b, :h, :w] = img
         batch["height"][b] = h
         batch["width"][b] = w

@@ -60,6 +60,16 @@ class CocoDataset:
     def num_classes(self) -> int:
         return len(self.class_names)
 
+    def set_worker_seed(self, worker_seed: int) -> None:
+        """Decorrelate the transform's RNG in a loader worker process.
+
+        Called by BucketedLoader's pool initializer after unpickling —
+        without this every worker would replay the identical augmentation
+        stream (each holds an identical copy of the transform)."""
+        t = self.transform
+        if t is not None and hasattr(t, "rng"):
+            t.rng = np.random.default_rng([worker_seed & 0x7FFFFFFF, 0xDE7])
+
     def __len__(self) -> int:
         return len(self.images)
 

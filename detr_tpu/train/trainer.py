@@ -76,11 +76,15 @@ def _make_loaders(config: TrainingConfig, synthetic: bool):
         class_names = [f"class_{i}" for i in range(num_classes)]
         return train_ds, val_ds, num_classes, class_names
 
+    # normalize=False: workers ship uint8; batch assembly normalizes
+    # natively in the parent (4x less IPC — see data/loader.py docstring).
     train_dataset = CocoDataset(
-        config.coco_dataset_root, "train", get_train_transforms(seed=config.seed)
+        config.coco_dataset_root,
+        "train",
+        get_train_transforms(seed=config.seed, normalize=False),
     )
     val_dataset = CocoDataset(
-        config.coco_dataset_root, "validation", get_val_transforms()
+        config.coco_dataset_root, "validation", get_val_transforms(normalize=False)
     )
     train_loader = BucketedLoader(
         train_dataset,

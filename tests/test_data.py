@@ -142,6 +142,31 @@ def test_train_transform_end_to_end(coco_root):
         assert (b[:, 1] >= 0).all() and (b[:, 3] <= h + 1e-3).all()
 
 
+def test_native_image_ops_match_numpy(rng):
+    """native/image_ops.cc kernels vs the numpy fallbacks (exact math)."""
+    from detr_tpu.data import _native
+    from detr_tpu.data import transforms as T
+
+    if _native.load() is None:
+        pytest.skip("no C++ toolchain")
+    img = (rng.random((120, 90, 3)) * 255).astype(np.float32)
+    for delta in (0.04, -0.03, 0.5):
+        a = _native.hue_rotate(img, delta)
+        # numpy fallback: run adjust_hue with the native path disabled
+        orig = _native._lib
+        try:
+            _native._lib = None
+            b = T.adjust_hue(img, delta)
+        finally:
+            _native._lib = orig
+        np.testing.assert_allclose(a, b, atol=5e-3)
+
+    u8 = img.astype(np.uint8)
+    n1 = _native.normalize_u8(u8, T._NORM_SCALE, T._NORM_BIAS)
+    n2 = (u8.astype(np.float32) / 255.0 - T.IMAGENET_MEAN) / T.IMAGENET_STD
+    np.testing.assert_allclose(n1, n2, atol=1e-5)
+
+
 def test_pick_bucket():
     buckets = ((832, 1344), (1344, 832), (1056, 1056))
     assert pick_bucket(800, 1333, buckets) == 0
@@ -210,3 +235,67 @@ def test_loader_deterministic_order(coco_root):
     for a, b in zip(l1, l2):
         np.testing.assert_array_equal(a["image_id"], b["image_id"])
         np.testing.assert_allclose(a["image"], b["image"])
+
+
+def test_loader_process_pool_matches_sync(coco_root):
+    """Spawn-pool workers yield bitwise the synchronous loader's batches
+    (deterministic val transform; order preserved by imap)."""
+    from detr_tpu.data.loader import BucketedLoader
+
+    ds = CocoDataset(coco_root, "validation", transform=get_val_transforms())
+    kw = dict(batch_size=3, buckets=((800, 1344), (1344, 800)), shuffle=False,
+              drop_last=False)
+    sync = BucketedLoader(ds, num_workers=0, **kw)
+    pool = BucketedLoader(ds, num_workers=2, worker_mode="process", **kw)
+    b_sync, b_pool = list(sync), list(pool)
+    pool.close()
+    assert len(b_sync) == len(b_pool) > 0
+    for a, b in zip(b_sync, b_pool):
+        np.testing.assert_array_equal(a["image_id"], b["image_id"])
+        np.testing.assert_allclose(a["image"], b["image"])
+
+
+def test_loader_process_mode_falls_back_for_unpicklable():
+    from detr_tpu.data.loader import BucketedLoader
+
+    class LocalDS:  # locally-defined -> not picklable by reference
+        def __len__(self):
+            return 4
+
+        def __getitem__(self, i):
+            img = np.full((64, 64, 3), i * 10, np.uint8)
+            return img, {
+                "image_id": i,
+                "boxes": np.zeros((0, 4), np.float32),
+                "class_idx": np.zeros((0,), np.int32),
+                "class_id": np.zeros((0,), np.int32),
+                "iscrowd": np.zeros((0,), bool),
+            }
+
+    loader = BucketedLoader(
+        LocalDS(), batch_size=2, buckets=((64, 64),), shuffle=False,
+        num_workers=2, worker_mode="process",
+    )
+    batches = list(loader)
+    loader.close()
+    assert len(batches) == 2
+    assert batches[0]["image"].shape == (2, 64, 64, 3)
+
+
+def test_deferred_normalize_matches_eager(coco_root):
+    """normalize=False transforms + collate-time normalization produce the
+    same batches as normalize-in-transform (padding stays exactly 0)."""
+    from detr_tpu.data.loader import BucketedLoader
+
+    ds_eager = CocoDataset(coco_root, "validation", transform=get_val_transforms())
+    ds_late = CocoDataset(
+        coco_root, "validation", transform=get_val_transforms(normalize=False)
+    )
+    kw = dict(batch_size=3, buckets=((800, 1344), (1344, 800)), shuffle=False,
+              drop_last=False, num_workers=0)
+    for a, b in zip(BucketedLoader(ds_eager, **kw), BucketedLoader(ds_late, **kw)):
+        np.testing.assert_allclose(a["image"], b["image"], atol=1e-6)
+        h, w = int(a["height"][0]), int(a["width"][0])
+        pad_region = a["image"][0, h:, w:]
+        if pad_region.size:
+            np.testing.assert_array_equal(pad_region, 0.0)
