@@ -19,6 +19,15 @@ from __future__ import annotations
 import numpy as np
 
 
+def _class_palette(num_classes: int) -> np.ndarray:
+    """Distinct, well-separated RGB signatures (in normalized-image sigma
+    units) for the learnable synthetic task — class identity is literally
+    painted into the pixels."""
+    rng = np.random.default_rng(1234)
+    pal = rng.uniform(-2.0, 2.0, size=(num_classes, 3))
+    return pal.astype(np.float32)
+
+
 def synthetic_batch(
     rng: np.random.Generator,
     batch_size: int = 2,
@@ -27,9 +36,17 @@ def synthetic_batch(
     max_gt: int = 25,
     num_classes: int = 80,
     mean_boxes: float = 7.0,
+    learnable: bool = False,
 ) -> dict[str, np.ndarray]:
+    """``learnable=True`` paints each GT box as a solid class-colored
+    rectangle on a low-noise background — a task a detector can actually
+    learn, used by convergence runs (the default noise images exercise only
+    shapes/throughput: pixels carry no box signal)."""
     B, G = batch_size, max_gt
-    images = rng.normal(0.0, 1.0, size=(B, height, width, 3)).astype(np.float32)
+    if learnable:
+        images = rng.normal(0.0, 0.1, size=(B, height, width, 3)).astype(np.float32)
+    else:
+        images = rng.normal(0.0, 1.0, size=(B, height, width, 3)).astype(np.float32)
 
     heights = rng.integers(height // 2, height + 1, size=B).astype(np.int32)
     widths = rng.integers(width // 2, width + 1, size=B).astype(np.int32)
@@ -59,6 +76,16 @@ def synthetic_batch(
     scale = np.stack([widths, heights, widths, heights], axis=-1).astype(np.float32)
     boxes_abs = boxes * scale[:, None, :]
 
+    if learnable:
+        pal = _class_palette(num_classes)
+        for b in range(B):
+            for g in range(int(n_boxes[b])):
+                xa, ya, xb, yb = boxes_abs[b, g]
+                images[
+                    b, int(ya) : max(int(yb), int(ya) + 2),
+                    int(xa) : max(int(xb), int(xa) + 2),
+                ] = pal[class_idx[b, g]]
+
     return {
         "image": images,
         "height": heights,
@@ -86,6 +113,7 @@ class SyntheticCocoDataset:
         num_classes: int = 80,
         num_batches: int = 100,
         seed: int = 0,
+        learnable: bool = False,
     ):
         self.batch_size = batch_size
         self.height = height
@@ -94,6 +122,7 @@ class SyntheticCocoDataset:
         self.num_classes = num_classes
         self.num_batches = num_batches
         self.seed = seed
+        self.learnable = learnable
 
     def __len__(self) -> int:
         return self.num_batches
@@ -108,4 +137,5 @@ class SyntheticCocoDataset:
                 self.width,
                 self.max_gt,
                 self.num_classes,
+                learnable=self.learnable,
             )

@@ -1,5 +1,5 @@
 from detr_tpu.models.detr import DETR, make_image_padding_mask
-from detr_tpu.models.resnet import ResNetBackbone
+from detr_tpu.models.resnet import ResNetBackbone, calibrate_frozen_bn
 from detr_tpu.models.transformer import (
     FFN,
     MLP,
@@ -12,6 +12,7 @@ __all__ = [
     "DETR",
     "make_image_padding_mask",
     "ResNetBackbone",
+    "calibrate_frozen_bn",
     "Encoder",
     "Decoder",
     "FFN",

@@ -43,11 +43,21 @@ class FrozenBatchNorm(nn.Module):
     detr/model.py:432): y = (x - mean) / sqrt(var + eps) * gamma + beta with
     no trainable parameters and no stat updates.  Parameters live in the
     ``frozen`` collection so the optimizer never sees them.
+
+    ``calibrate=True`` (one-shot, via ``apply(..., mutable=["frozen"])``)
+    overwrites mean/var with the current batch's activation statistics
+    before normalizing.  Frozen BN only makes sense with matching stats:
+    with the identity defaults and a RANDOM backbone, activations explode
+    through the trunk (measured layer4 L2 ~1e4) and training from scratch
+    stalls — the reference never hits this because it always loads
+    ImageNet weights (whose stats ship with them).  See
+    ``detr_tpu.models.calibrate_frozen_bn``.
     """
 
     features: int
     eps: float = 1e-5
     dtype: str = "bfloat16"
+    calibrate: bool = False
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -56,6 +66,11 @@ class FrozenBatchNorm(nn.Module):
         beta = self.variable("frozen", "bias", nn.initializers.zeros, None, shape)
         mean = self.variable("frozen", "mean", nn.initializers.zeros, None, shape)
         var = self.variable("frozen", "var", nn.initializers.ones, None, shape)
+
+        if self.calibrate and not self.is_initializing():
+            x32 = x.astype(jnp.float32)
+            mean.value = jnp.mean(x32, axis=(0, 1, 2))
+            var.value = jnp.var(x32, axis=(0, 1, 2))
 
         scale = (gamma.value * jax.lax.rsqrt(var.value + self.eps)).astype(
             jnp.dtype(self.dtype)
@@ -154,6 +169,7 @@ class Bottleneck(nn.Module):
     dilation: int = 1
     downsample: bool = False
     dtype: str = "bfloat16"
+    calibrate: bool = False
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -161,21 +177,21 @@ class Bottleneck(nn.Module):
 
         identity = x
         y = _conv(self.planes, 1, dtype=self.dtype, name="conv1")(x)
-        y = FrozenBatchNorm(self.planes, dtype=self.dtype, name="bn1")(y)
+        y = FrozenBatchNorm(self.planes, dtype=self.dtype, calibrate=self.calibrate, name="bn1")(y)
         y = nn.relu(y)
         y = _conv(
             self.planes, 3, self.stride, self.dilation, dtype=self.dtype, name="conv2"
         )(y)
-        y = FrozenBatchNorm(self.planes, dtype=self.dtype, name="bn2")(y)
+        y = FrozenBatchNorm(self.planes, dtype=self.dtype, calibrate=self.calibrate, name="bn2")(y)
         y = nn.relu(y)
         y = _conv(out_ch, 1, dtype=self.dtype, name="conv3")(y)
-        y = FrozenBatchNorm(out_ch, dtype=self.dtype, name="bn3")(y)
+        y = FrozenBatchNorm(out_ch, dtype=self.dtype, calibrate=self.calibrate, name="bn3")(y)
 
         if self.downsample:
             identity = _conv(
                 out_ch, 1, self.stride, dtype=self.dtype, name="downsample_conv"
             )(x)
-            identity = FrozenBatchNorm(out_ch, dtype=self.dtype, name="downsample_bn")(
+            identity = FrozenBatchNorm(out_ch, dtype=self.dtype, calibrate=self.calibrate, name="downsample_bn")(
                 identity
             )
         return nn.relu(y + identity)
@@ -193,6 +209,8 @@ class ResNetBackbone(nn.Module):
     # See _StemConv: exact s2d stem transform, measured slower on v5e
     # (XLA's packed stem emitter wins); switchable for other targets.
     stem_space_to_depth: bool = False
+    # One-shot frozen-BN stat calibration (see FrozenBatchNorm.calibrate).
+    calibrate: bool = False
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -205,7 +223,7 @@ class ResNetBackbone(nn.Module):
         x = _StemConv(
             dtype=self.dtype, space_to_depth=self.stem_space_to_depth, name="conv1"
         )(x)
-        x = FrozenBatchNorm(64, dtype=self.dtype, name="bn1")(x)
+        x = FrozenBatchNorm(64, dtype=self.dtype, calibrate=self.calibrate, name="bn1")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
 
@@ -224,6 +242,46 @@ class ResNetBackbone(nn.Module):
                     dilation=1 if (b == 0 or not dilate_stage) else block_dilation,
                     downsample=(b == 0),
                     dtype=self.dtype,
+                    calibrate=self.calibrate,
                     name=f"layer{stage}_block{b}",
                 )(x)
         return x
+
+
+def calibrate_frozen_bn(
+    config, variables: dict, images: Array
+) -> dict:
+    """One-shot frozen-BN stat calibration for from-scratch training.
+
+    Runs the backbone once with every FrozenBatchNorm overwriting its
+    mean/var with the batch's activation statistics (sequentially — each
+    layer sees its upstream already calibrated) and returns a new
+    ``variables`` dict with the updated ``frozen`` collection.  Use when
+    ``DETRConfig.backbone_weights`` is None: the identity default stats make
+    a random trunk's activations explode (~1e4 L2 at layer4) and from-scratch
+    training stalls in DETR's query-collapse phase.
+
+    Args:
+      config: DETRConfig (backbone name / dilation / dtype are read).
+      variables: the DETR model's {"params", "frozen", ...} tree.
+      images: (B, H, W, 3) sample batch (normalized, zero-padded).
+    """
+    bb = ResNetBackbone(
+        backbone=config.backbone,
+        dilation=config.dilation,
+        dtype=config.dtype,
+        calibrate=True,
+    )
+    _, mutated = bb.apply(
+        {
+            "params": variables["params"]["backbone"],
+            "frozen": variables["frozen"]["backbone"],
+        },
+        images,
+        mutable=["frozen"],
+    )
+    new_frozen = dict(variables["frozen"])
+    new_frozen["backbone"] = mutated["frozen"]
+    out = dict(variables)
+    out["frozen"] = new_frozen
+    return out

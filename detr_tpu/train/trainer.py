@@ -65,13 +65,17 @@ def _make_loaders(config: TrainingConfig, synthetic: bool):
     if synthetic:
         num_classes = 80
         h, w = config.shape_buckets[0]
+        # learnable=True paints class-colored rectangles: --synthetic runs
+        # can actually converge (loss falls, AP rises), not just execute.
         train_ds = SyntheticCocoDataset(
             config.train_batch_size, h, w, max_gt=config.max_gt_boxes,
             num_batches=max(config.limit_train_iters, 4) or 4, seed=config.seed,
+            learnable=True,
         )
         val_ds = SyntheticCocoDataset(
             config.val_batch_size, h, w, max_gt=config.max_gt_boxes,
             num_batches=max(config.limit_val_iters, 2) or 2, seed=config.seed + 1,
+            learnable=True,
         )
         class_names = [f"class_{i}" for i in range(num_classes)]
         return train_ds, val_ds, num_classes, class_names
@@ -158,6 +162,20 @@ def train_DETR(
             params=new_vars["params"], frozen=new_vars["frozen"]
         )
         logger.info("loaded backbone weights from %s", detr_config.backbone_weights)
+    else:
+        # From-scratch trunk: calibrate the frozen-BN statistics on the
+        # sample batch (identity stats + random convs explode activations
+        # ~1e4 at layer4 and stall training; pretrained weights ship their
+        # own stats so this only applies to the random-init path).
+        from detr_tpu.models import calibrate_frozen_bn
+
+        cal = calibrate_frozen_bn(
+            detr_config,
+            {"params": state.params, "frozen": state.frozen},
+            sample["image"],
+        )
+        state = state.replace(frozen=cal["frozen"])
+        logger.info("calibrated frozen-BN statistics (no pretrained backbone)")
 
     # Resume paths:
     #   * explicit checkpoint dir -> weights-only (reference

@@ -1,0 +1,189 @@
+"""End-to-end learning demonstration: small DETR on a learnable synthetic task.
+
+Proves the whole training loop LEARNS — model, on-device Hungarian matcher,
+set loss, backward, optimizer, post-processing, and the from-scratch COCO
+evaluator all working together — not merely executes.  The task: detect
+class-colored rectangles painted on low-noise backgrounds
+(``synthetic_batch(learnable=True)``); a detector that cannot reach high AP
+here is broken somewhere.
+
+Full-scale DETR is famously slow to leave its query-collapse phase (the
+paper trains 300+ epochs on 118k images; at a few thousand steps every query
+still predicts one mean box).  This uses a small DETR (2+2 layers, d=64,
+16 queries, 5 classes) where the same dynamics resolve in minutes.
+
+TPU-native detail: steps are CHAINED inside one jitted ``lax.fori_loop``
+dispatch (the axon relay costs ~44 ms per dispatch; per-step host driving
+would dominate).
+
+Usage:  python examples/convergence_synthetic.py [--steps 6000]
+Prints loss every eval interval and AP at the end; exits nonzero if AP50
+fails the bar (so it can serve as a long-running acceptance test).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import argparse
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=6000)
+    ap.add_argument("--eval-every", type=int, default=1000)
+    ap.add_argument("--batch-size", type=int, default=16)
+    ap.add_argument("--image-size", type=int, default=256)
+    ap.add_argument("--lr", type=float, default=3e-4)
+    ap.add_argument("--clip", type=float, default=1.0)
+    ap.add_argument("--n-train-batches", type=int, default=16)
+    ap.add_argument("--ap50-bar", type=float, default=0.3)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+
+    from detr_tpu.config import DETRConfig, TrainingConfig
+    from detr_tpu.data.synthetic import synthetic_batch
+    from detr_tpu.eval.metrics import DetectionMetrics
+    from detr_tpu.eval.postprocess import PostProcess
+    from detr_tpu.losses.criterion import total_loss
+    from detr_tpu.models import DETR, calibrate_frozen_bn
+    from detr_tpu.train import create_train_state
+    from detr_tpu.train.train_step import _targets_of_batch, build_criterion
+
+    num_classes = 5
+    cfg = DETRConfig(
+        num_object_queries=16,
+        num_encoder_layers=2,
+        num_decoder_layers=2,
+        num_attention_heads=4,
+        hidden_size=64,
+        ffn_scale_factor=4,
+        num_classes=num_classes,
+        dtype="bfloat16",
+    )
+    tc = TrainingConfig(
+        cumulative_train_batch_size=args.batch_size,
+        train_batch_size=args.batch_size,
+    )
+    model = DETR(cfg)
+    criterion = build_criterion(tc, cfg)
+
+    def make_batch(seed, mean_boxes=3.0):
+        return {
+            k: jnp.asarray(v)
+            for k, v in synthetic_batch(
+                np.random.default_rng(seed),
+                batch_size=args.batch_size,
+                height=args.image_size,
+                width=args.image_size,
+                max_gt=8,
+                num_classes=num_classes,
+                mean_boxes=mean_boxes,
+                learnable=True,
+            ).items()
+        }
+
+    n_train = args.n_train_batches
+    train_batches = [make_batch(s) for s in range(n_train)]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *train_batches)
+
+    # Constant LR after a short warmup; the demo needs speed, not the
+    # reference's 100-epoch schedule.
+    sched = optax.linear_schedule(0.0, args.lr, 300)
+    tx = optax.chain(
+        optax.clip_by_global_norm(args.clip),
+        optax.adamw(sched, weight_decay=1e-4),
+    )
+    state = create_train_state(model, tx, jax.random.PRNGKey(0), train_batches[0])
+    # Random backbone: calibrate frozen-BN stats on the first batch (without
+    # this, trunk activations explode ~1e4 and learning stalls).
+    cal = calibrate_frozen_bn(
+        cfg, {"params": state.params, "frozen": state.frozen},
+        train_batches[0]["image"],
+    )
+    state = state.replace(frozen=cal["frozen"])
+
+    def loss_fn(params, frozen, b, rng_):
+        out = model.apply(
+            {"params": params, "frozen": frozen},
+            b["image"], b["height"], b["width"], False,
+            rngs={"dropout": rng_},
+        )
+        return total_loss(criterion(out, _targets_of_batch(b)))
+
+    K = args.eval_every
+
+    @jax.jit
+    def run_chunk(s, start):
+        def body(i, carry):
+            s, _ = carry
+            b = jax.tree.map(lambda x: x[(start + i) % n_train], stacked)
+            rng_, drng = jax.random.split(s.rng)
+            loss, grads = jax.value_and_grad(loss_fn)(s.params, s.frozen, b, drng)
+            return s.apply_gradients(grads).replace(rng=rng_), loss
+        return jax.lax.fori_loop(0, K, body, (s, jnp.float32(0)))
+
+    @jax.jit
+    def infer(params, frozen, b):
+        out = model.apply({"params": params, "frozen": frozen},
+                          b["image"], b["height"], b["width"])
+        return out["pred_logits"][:, -1], out["pred_boxes"][:, -1]
+
+    val_batches = [make_batch(1000 + s) for s in range(4)]
+    names = [f"color_{i}" for i in range(num_classes)]
+
+    def evaluate(s, batches):
+        pp = PostProcess(names)
+        m = DetectionMetrics(names)
+        for vi, vb in enumerate(batches):
+            logits, boxes = infer(s.params, s.frozen, vb)
+            preds = pp(logits, boxes, vb["height"], vb["width"])
+            host = {k: np.asarray(v) for k, v in vb.items()}
+            # distinct ids per batch (generator reuses 1..B)
+            host["image_id"] = host["image_id"] + vi * args.batch_size
+            m.update(preds, host)
+        return m.compute()
+
+    t0 = time.time()
+    done = 0
+    while done < args.steps:
+        state, loss = run_chunk(state, jnp.int32(done % n_train))
+        loss = float(loss)
+        done += K
+        ev = evaluate(state, val_batches)
+        tr = evaluate(state, train_batches[:4])
+        print(
+            f"step {done:6d}  loss {loss:7.3f}  val AP {ev['AP']:.3f} "
+            f"AP50 {ev['AP50']:.3f}  train AP {tr['AP']:.3f} "
+            f"AP50 {tr['AP50']:.3f}  ({time.time() - t0:.0f}s)",
+            flush=True,
+        )
+    final = evaluate(state, train_batches[:4])
+    print("FINAL train-set:", {k: round(v, 3) for k, v in final.items()
+                               if not k.startswith("AP-per")})
+    # The acceptance bar is TRAIN AP50: learning to detect the fixed pool
+    # exercises every component (a broken matcher/loss/box head cannot
+    # memorize detection); val AP measures generalization, which is a
+    # data-scale property (the pool is only n_train*batch_size images).
+    # Measured on v5e: train AP50 0.71 / AP 0.55 at 40k steps (~32 min).
+    if final["AP50"] < args.ap50_bar:
+        raise SystemExit(
+            f"train AP50 {final['AP50']:.3f} below bar {args.ap50_bar} — "
+            "end-to-end learning check FAILED"
+        )
+    print(f"PASS: train AP50 {final['AP50']:.3f} >= {args.ap50_bar}")
+
+
+if __name__ == "__main__":
+    main()

@@ -142,6 +142,31 @@ def test_train_transform_end_to_end(coco_root):
         assert (b[:, 1] >= 0).all() and (b[:, 3] <= h + 1e-3).all()
 
 
+def test_learnable_synthetic_paints_class_colors(rng):
+    """learnable=True paints each GT box with its class palette color —
+    the signal the convergence runs learn from."""
+    from detr_tpu.data.synthetic import _class_palette, synthetic_batch
+
+    b = synthetic_batch(rng, 2, 96, 96, max_gt=6, num_classes=5, learnable=True)
+    pal = _class_palette(5)
+    found = 0
+    for i in range(2):
+        for g in range(6):
+            if not b["gt_valid"][i, g]:
+                continue
+            x0, y0, x1, y1 = b["boxes"][i, g]
+            cx, cy = int((x0 + x1) / 2), int((y0 + y1) / 2)
+            px = b["image"][i, cy, cx]
+            # center pixel is the class color unless painted over by a
+            # later overlapping box (which carries some palette color too)
+            if np.allclose(px, pal[b["class_idx"][i, g]], atol=1e-5):
+                found += 1
+    assert found >= 1
+    # padding region still exactly zero
+    h, w = int(b["height"][0]), int(b["width"][0])
+    assert (b["image"][0, h:] == 0).all() and (b["image"][0, :, w:] == 0).all()
+
+
 def test_native_image_ops_match_numpy(rng):
     """native/image_ops.cc kernels vs the numpy fallbacks (exact math)."""
     from detr_tpu.data import _native
