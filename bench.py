@@ -14,6 +14,7 @@ Prints ONE JSON line.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -78,6 +79,213 @@ def check_matcher_parity() -> None:
                 "value": float(worst),
                 "unit": "cost",
                 "vs_baseline": 1.0,
+            }
+        )
+    )
+
+
+def check_attention_parity() -> None:
+    """--check mode: Mosaic-compiled flash attention vs the XLA path on the
+    REAL chip.
+
+    Interpret-mode tests (tests/test_pallas_kernels.py) validate the
+    algorithm on CPU; ``use_pallas_attention="auto"`` ships the Mosaic
+    compilation in the default train path, and the module has a recorded
+    Mosaic-vs-interpret divergence (hardware PRNG bit layout), so hardware
+    parity needs its own assertion (ADVICE r2 #4).  Checks, in fp32:
+
+      * forward vs ``scaled_dot_product_attention`` at dropout 0, encoder
+        (S≈1.1k) and DC5 (S≈4.3k, multi-S-block backward) shapes;
+      * gradients wrt q/k/v of the same composition, both shapes;
+      * dropout fwd/bwd mask consistency: attention output is exactly
+        linear in v for a fixed keep-mask, so ``vjp`` wrt v contracted with
+        dv must equal f(v+dv) - f(v) bit-for-bit up to fp32 rounding —
+        catches a backward that regenerates a different mask than forward.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from detr_tpu.ops.attention import scaled_dot_product_attention
+    from detr_tpu.ops.pallas_attention import pallas_masked_attention
+
+    assert jax.devices()[0].platform.lower() in ("tpu", "axon"), (
+        "--check needs the real TPU; CPU parity is covered by the test suite"
+    )
+
+    def emit(metric, value):
+        print(
+            json.dumps(
+                {
+                    "metric": metric,
+                    "value": float(value),
+                    "unit": "max_abs_diff",
+                    "vs_baseline": 1.0,
+                }
+            )
+        )
+
+    rng = np.random.default_rng(11)
+    for name, (B, L, S) in {"enc": (4, 1100, 1100), "dc5": (1, 4300, 4300)}.items():
+        H, D = 8, 32
+        q, k, v = (
+            jnp.asarray(rng.normal(size=(B, n, H, D)).astype(np.float32))
+            for n in (L, S, S)
+        )
+        # Ragged per-image valid lengths like real bucket padding.
+        mask = np.zeros((B, S), bool)
+        for b in range(B):
+            mask[b, int(rng.integers(S // 2, S)):] = True
+        mask = jnp.asarray(mask)
+        g = jnp.asarray(rng.normal(size=(B, L, H, D)).astype(np.float32))
+
+        def f_pallas(q, k, v):
+            return pallas_masked_attention(q, k, v, mask)
+
+        def f_xla(q, k, v):
+            return scaled_dot_product_attention(q, k, v, key_padding_mask=mask)
+
+        out_p, vjp_p = jax.vjp(jax.jit(f_pallas), q, k, v)
+        out_x, vjp_x = jax.vjp(jax.jit(f_xla), q, k, v)
+        scale = float(jnp.abs(out_x).max())
+        fwd_diff = float(jnp.abs(out_p - out_x).max())
+        assert fwd_diff < 2e-5 * max(1.0, scale), (name, fwd_diff)
+        emit(f"attention_tpu_fwd_parity_{name}", fwd_diff)
+
+        bwd_diff = 0.0
+        for dp, dx in zip(vjp_p(g), vjp_x(g)):
+            ref_scale = max(1.0, float(jnp.abs(dx).max()))
+            bwd_diff = max(bwd_diff, float(jnp.abs(dp - dx).max()) / ref_scale)
+        assert bwd_diff < 5e-5, (name, bwd_diff)
+        emit(f"attention_tpu_bwd_parity_{name}", bwd_diff)
+
+        # Dropout mask fwd/bwd consistency via exact linearity in v.
+        seed = jnp.asarray([123], jnp.int32)
+
+        def f_drop(v):
+            return pallas_masked_attention(q, k, v, mask, seed, 0.5)
+
+        dv = jnp.asarray(rng.normal(size=v.shape).astype(np.float32))
+        out0, vjp_d = jax.vjp(jax.jit(f_drop), v)
+        out1 = jax.jit(f_drop)(v + dv)
+        (grad_v,) = vjp_d(out1 - out0)  # == d/dv [sum((out1-out0) * f(v))]
+        # Linearity: <grad_v, dv> must equal ||out1 - out0||^2.
+        lhs = float(jnp.vdot(grad_v, dv))
+        rhs = float(jnp.vdot(out1 - out0, out1 - out0))
+        drop_diff = abs(lhs - rhs) / max(1.0, abs(rhs))
+        assert drop_diff < 1e-4, (name, lhs, rhs)
+        emit(f"attention_tpu_dropout_mask_consistency_{name}", drop_diff)
+
+
+def main_e2e() -> None:
+    """--e2e mode: SUSTAINED trainer-in-the-loop throughput.
+
+    The headline bench times the fused device step on pre-built batches; the
+    reference's derived 34 img/s baseline includes its DataLoader
+    (reference detr/train.py:247-267).  This mode measures the same thing we
+    ship: on-disk JPEG COCO -> CocoDataset -> multi-scale augmentation ->
+    3-bucket BucketedLoader -> background device prefetch -> fused train
+    step, end to end (also covers BASELINE config #3's multi-scale bucketed
+    pipeline as a measured pipeline, not just a correctness test).
+
+    The dataset is the synthetic on-disk COCO stand-in
+    (data/make_synthetic_coco.py), generated on first use.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from detr_tpu.config import DETRConfig, TrainingConfig
+    from detr_tpu.data import (
+        BucketedLoader,
+        CocoDataset,
+        get_train_transforms,
+        prefetch_to_device,
+        synthetic_batch,
+    )
+    from detr_tpu.data.make_synthetic_coco import generate_split
+    from detr_tpu.models import DETR
+    from detr_tpu.parallel import make_mesh, shard_batch, shard_state
+    from detr_tpu.train import build_optimizer, create_train_state
+    from detr_tpu.train.train_step import build_criterion, make_train_step
+
+    root = "datasets/bench_synth"
+    if not os.path.exists(os.path.join(root, "train", "labels.json")):
+        generate_split(root, "train", 600, seed=5)
+
+    batch_size = 8
+    train_config = TrainingConfig(
+        cumulative_train_batch_size=batch_size, train_batch_size=batch_size
+    )
+    detr_config = DETRConfig(dtype="bfloat16", num_classes=80)
+    mesh = make_mesh()
+
+    dataset = CocoDataset(
+        root, "train", get_train_transforms(seed=0, normalize=False)
+    )
+    loader = BucketedLoader(
+        dataset,
+        batch_size,
+        buckets=train_config.shape_buckets,
+        max_gt=train_config.max_gt_boxes,
+        shuffle=True,
+        drop_last=True,
+        num_workers=train_config.num_workers,
+        seed=0,
+    )
+
+    model = DETR(detr_config)
+    criterion = build_criterion(train_config, detr_config)
+    tx, _ = build_optimizer(train_config)
+    rng = np.random.default_rng(0)
+    warm = {
+        k: jnp.asarray(v)
+        for k, v in synthetic_batch(
+            rng,
+            batch_size=batch_size,
+            height=train_config.shape_buckets[0][0],
+            width=train_config.shape_buckets[0][1],
+            max_gt=train_config.max_gt_boxes,
+        ).items()
+    }
+    state = shard_state(
+        create_train_state(model, tx, jax.random.PRNGKey(0), warm), mesh
+    )
+    train_step = make_train_step(model, criterion, donate=True)
+
+    # Warm every bucket shape so the timed loop measures steady state, not
+    # XLA compiles (first compile through the relay is minutes).
+    for h, w in train_config.shape_buckets:
+        b = {
+            k: jnp.asarray(v)
+            for k, v in synthetic_batch(
+                rng, batch_size=batch_size, height=h, width=w,
+                max_gt=train_config.max_gt_boxes,
+            ).items()
+        }
+        state, m = train_step(state, shard_batch(b, mesh))
+    _ = float(m["loss"])
+
+    def _place(b):
+        return shard_batch({k: v for k, v in b.items() if k != "pad_count"}, mesh)
+
+    n_images = 0
+    t0 = time.perf_counter()
+    for batch in prefetch_to_device(loader, _place, depth=2):
+        state, m = train_step(state, batch)
+        n_images += batch_size
+    _ = float(m["loss"])  # drain the async dispatch queue
+    dt = time.perf_counter() - t0
+
+    img_per_s = n_images / dt
+    print(
+        json.dumps(
+            {
+                "metric": "train_images_per_sec_sustained_e2e",
+                "value": round(img_per_s, 2),
+                "unit": "img/s",
+                "vs_baseline": round(img_per_s / BASELINE_IMG_PER_S, 3),
             }
         )
     )
@@ -210,5 +418,8 @@ def main() -> None:
 if __name__ == "__main__":
     if "--check" in sys.argv:
         check_matcher_parity()
+        check_attention_parity()
+    elif "--e2e" in sys.argv:
+        main_e2e()
     else:
         main()

@@ -180,11 +180,11 @@ class TrainingConfig:
     # Maximum number of GT boxes per image after padding (COCO max is 93;
     # boxes beyond this are dropped with a warning).
     max_gt_boxes: int = 100
-    # All-reduce the set-loss box normalizer across the data mesh axis
-    # (official-DETR behavior the reference dropped — loss.py:142).
-    global_loss_normalizer: bool = True
     # Donate the train-state buffers to the jitted step (halves HBM).
     donate_state: bool = True
+    # Device batches kept ready ahead of the step by the background
+    # prefetcher (data/prefetch.py); 0 disables the prefetch thread.
+    prefetch_depth: int = 2
     # Final epsilon for the on-device auction matcher during training
     # (looser than the 1e-4 parity default: ~25% fewer solver rounds; the
     # matching slack bound 2*eps*G is negligible vs loss magnitudes).

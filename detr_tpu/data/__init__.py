@@ -8,6 +8,7 @@ from detr_tpu.data.bucketing import (
 )
 from detr_tpu.data.coco import CocoDataset
 from detr_tpu.data.loader import BucketedLoader, make_eval_loader
+from detr_tpu.data.prefetch import prefetch_to_device
 from detr_tpu.data.synthetic import SyntheticCocoDataset, synthetic_batch
 from detr_tpu.data.transforms import get_train_transforms, get_val_transforms
 
@@ -17,6 +18,7 @@ __all__ = [
     "CocoDataset",
     "BucketedLoader",
     "make_eval_loader",
+    "prefetch_to_device",
     "get_train_transforms",
     "get_val_transforms",
     "DEFAULT_BUCKETS",

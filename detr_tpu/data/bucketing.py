@@ -12,7 +12,8 @@ only when the image exceeds every bucket), and GT is padded to a static
 Batch layout (everything fixed-shape numpy, NHWC):
   image            (B, H, W, 3) fp32, zero padding (reference data.py:199-203)
   height / width   (B,) int32 valid extents (reference data.py:193-194)
-  image_id         (B,) int32
+  image_id         (B,) int32 (-1 = item carried no dataset id; eval
+                   metrics auto-assign from a negative namespace)
   class_idx        (B, G) int32        class_id (B, G) int32
   iscrowd          (B, G) bool         gt_valid (B, G) bool
   boxes            (B, G, 4) fp32 XYXY in pixels (eval metrics)
@@ -82,7 +83,7 @@ def assemble_batch(
         "image": np.zeros((B, bh, bw, 3), np.float32),
         "height": np.zeros((B,), np.int32),
         "width": np.zeros((B,), np.int32),
-        "image_id": np.zeros((B,), np.int32),
+        "image_id": np.full((B,), -1, np.int32),
         "class_idx": np.zeros((B, G), np.int32),
         "class_id": np.zeros((B, G), np.int32),
         "iscrowd": np.zeros((B, G), bool),
@@ -103,7 +104,7 @@ def assemble_batch(
         batch["image"][b, :h, :w] = img
         batch["height"][b] = h
         batch["width"][b] = w
-        batch["image_id"][b] = t.get("image_id", 0)
+        batch["image_id"][b] = t.get("image_id", -1)  # -1 = no dataset id
         n = min(len(t["boxes"]), G)
         if len(t["boxes"]) > G:
             # COCO's max is 93; only adversarial inputs hit this.

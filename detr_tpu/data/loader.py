@@ -43,17 +43,23 @@ _WORKER_DATASET = None
 _WORKER_BUCKETS = None
 
 
-def _pool_init(dataset, buckets):
+def _pool_init(dataset, buckets, base_seed, counter):
     global _WORKER_DATASET, _WORKER_BUCKETS
     _WORKER_DATASET = dataset
     _WORKER_BUCKETS = buckets
     # Every worker unpickles an identical dataset copy — identical transform
     # RNG states would replay the same augmentation stream in each worker.
     # Datasets expose set_worker_seed to decorrelate (CocoDataset does).
+    # Seeds derive from (loader seed, worker index) via a shared atomic
+    # counter — the seed SET {base..base+n-1} is deterministic run-to-run
+    # (which worker draws which index from the pool scheduler is not, so
+    # per-image augmentation under >1 worker is decorrelated but not
+    # bit-reproducible; num_workers=0 is the bit-reproducible mode).
     if hasattr(dataset, "set_worker_seed"):
-        import os
-
-        dataset.set_worker_seed(os.getpid())
+        with counter.get_lock():
+            idx = counter.value
+            counter.value += 1
+        dataset.set_worker_seed(int(base_seed) + idx)
 
 
 def _pool_probe() -> bool:
@@ -131,7 +137,14 @@ class BucketedLoader:
     def _process_stream(self, indices) -> Optional[Iterator]:
         """Ordered item stream from a spawn-based process pool; None when
 
-        the dataset can't be shipped to workers (fall back to threads)."""
+        the dataset can't be shipped to workers (fall back to threads).
+
+        Submission is windowed (``prefetch * batch_size`` items in flight,
+        matching the thread path's out_q bound) instead of one big
+        ``Pool.imap``: imap enqueues the whole epoch up front and buffers
+        results unboundedly if the consumer stalls (checkpoint/validation
+        pauses), which on COCO-scale epochs can grow toward tens of GB of
+        augmented images on the host."""
         import multiprocessing as mp
         import pickle
 
@@ -141,14 +154,16 @@ class BucketedLoader:
             except Exception:
                 return None
             ctx = mp.get_context("spawn")
+            counter = ctx.Value("i", 0)
             pool = ctx.Pool(
                 self.num_workers,
                 initializer=_pool_init,
-                initargs=(self.dataset, self.buckets),
+                initargs=(self.dataset, self.buckets, self.seed, counter),
             )
             # Probe that workers actually bootstrapped: spawn re-imports the
             # parent __main__, which fails for e.g. stdin-driven scripts — a
-            # dead pool would otherwise respawn forever and imap would hang.
+            # dead pool would otherwise respawn forever and the stream would
+            # hang.
             try:
                 assert pool.apply_async(_pool_probe).get(timeout=60)
             except Exception:
@@ -156,9 +171,33 @@ class BucketedLoader:
                 pool.join()
                 return None
             self._pool = pool
-        return self._pool.imap(
-            _pool_load, [int(i) for i in indices], chunksize=max(1, self.prefetch)
-        )
+
+        pool = self._pool
+        max_inflight = max(1, self.prefetch) * self.batch_size
+        index_iter = iter([int(i) for i in indices])
+
+        def gen():
+            from collections import deque
+
+            pending: deque = deque()
+
+            def submit() -> bool:
+                try:
+                    i = next(index_iter)
+                except StopIteration:
+                    return False
+                pending.append(pool.apply_async(_pool_load, (i,)))
+                return True
+
+            for _ in range(max_inflight):
+                if not submit():
+                    break
+            while pending:
+                result = pending.popleft().get()
+                submit()  # keep the window full; deterministic FIFO order
+                yield result
+
+        return gen()
 
     def __len__(self) -> int:
         # Upper bound: with drop_last, up to batch_size-1 items per bucket are

@@ -20,7 +20,7 @@ class DetectionMetrics:
     def __init__(self, class_names: Sequence[str]):
         self.class_names = list(class_names)
         self.evaluator = CocoEvaluator(len(self.class_names), self.class_names)
-        self._next_auto_id = 0
+        self._n_auto = 0
 
     def update(self, preds: List[dict], batch: dict) -> None:
         """preds: per-image dicts {boxes XYXY, scores, labels} (PostProcess
@@ -33,9 +33,13 @@ class DetectionMetrics:
         for i in range(B - pad):
             valid = np.asarray(batch["gt_valid"][i])
             image_id = int(np.asarray(batch["image_id"][i]))
-            if image_id == 0:
-                image_id = self._next_auto_id
-            self._next_auto_id = image_id + 1
+            if image_id < 0:
+                # -1 sentinel = "no dataset id" (bucketing.assemble_batch
+                # default).  Auto ids live in a negative namespace so a
+                # legitimate id (COCO ids are non-negative, synthetic sets
+                # may start at 0) can never collide with them.
+                self._n_auto += 1
+                image_id = -self._n_auto - 1
             self.evaluator.add_image(
                 image_id=image_id,
                 det_boxes=np.asarray(preds[i]["boxes"]),
@@ -65,4 +69,4 @@ class DetectionMetrics:
 
     def reset(self) -> None:
         self.evaluator.reset()
-        self._next_auto_id = 0
+        self._n_auto = 0

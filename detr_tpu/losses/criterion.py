@@ -26,9 +26,9 @@ decoder-layer axis.  Everything computes in fp32 islands.
 Deliberate divergence (documented, SURVEY §7 known quirks): the reference
 normalizes box losses by the *per-local-batch* GT count (detr/loss.py:142);
 official DETR all-reduces it across data-parallel workers.  Under a single
-jit over a GSPMD mesh the sum below is already global; for ``shard_map``
-usage pass ``axis_name`` to psum it explicitly
-(``TrainingConfig.global_loss_normalizer``).
+jit over a GSPMD mesh the sum below is already global (the trainer always
+gets the global-normalizer behavior); only ``shard_map`` callers need to
+pass ``axis_name`` to psum it explicitly.
 """
 
 from __future__ import annotations

@@ -640,8 +640,11 @@ def _fwd(q, k, v, key_padding_mask, seed, dropout_rate, block_q):
 def _bwd(dropout_rate, block_q, residuals, g):
     q, k, v, key_padding_mask, seed, out, lse = residuals
     if k.shape[1] > _BWD_SINGLE_MAX_S:
+        # block_s passed explicitly so the module global is read at call
+        # time (tests shrink _DEF_BS to force the multi-S-block route).
         dq, dk, dv = _flash_backward_blocked(
-            q, k, v, key_padding_mask, seed, g, out, lse, dropout_rate, block_q
+            q, k, v, key_padding_mask, seed, g, out, lse, dropout_rate, block_q,
+            block_s=_DEF_BS,
         )
     else:
         dq, dk, dv = _flash_backward(

@@ -23,11 +23,6 @@ fails the bar (so it can serve as a long-running acceptance test).
 
 from __future__ import annotations
 
-import os
-import sys
-
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
 import argparse
 import time
 

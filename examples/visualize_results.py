@@ -17,11 +17,6 @@ unless a checkpoint is given) so the script runs anywhere.
 
 from __future__ import annotations
 
-import os
-import sys
-
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
 import argparse
 import os
 
