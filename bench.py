@@ -22,6 +22,22 @@ import numpy as np
 
 BASELINE_IMG_PER_S = 34.0
 
+# Dense bf16 peak TFLOP/s per chip by device_kind substring (public specs).
+PEAK_BF16_TFLOPS = (
+    ("v6", 918.0),
+    ("v5p", 459.0),
+    ("v5", 197.0),  # v5e / "v5 lite"
+    ("v4", 275.0),
+)
+
+
+def _peak_tflops(device_kind: str):
+    kind = device_kind.lower().replace(" ", "")
+    for sub, peak in PEAK_BF16_TFLOPS:
+        if sub in kind:
+            return peak
+    return None
+
 
 def check_matcher_parity() -> None:
     """--check mode: Mosaic-compiled auction vs scipy on the REAL chip.
@@ -291,6 +307,92 @@ def main_e2e() -> None:
     )
 
 
+def main_eval_scale() -> None:
+    """--eval-scale mode: full-scale validation wall-clock (round-3 item #7).
+
+    Runs the production ``run_validation`` — fixed-shape eval loader,
+    data-parallel eval step, PostProcess, from-scratch COCO evaluator with
+    the native C++ match kernel — over a 5k-image on-disk synthetic val set
+    (real COCO val2017 size), and reports sustained eval images/sec.  The
+    native ``cocoeval.cc`` kernel is asserted to engage: at 5k images x 80
+    classes the O(T*D*G) Python fallback (eval/coco_eval.py) would
+    dominate the wall-clock on the real-COCO day.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from detr_tpu.config import DETRConfig, TrainingConfig
+    from detr_tpu.data import CocoDataset, get_val_transforms, make_eval_loader
+    from detr_tpu.data.make_synthetic_coco import generate_split
+    from detr_tpu.eval import _native
+    from detr_tpu.models import DETR
+    from detr_tpu.parallel import make_mesh, shard_state
+    from detr_tpu.train import build_optimizer, create_train_state
+    from detr_tpu.train.train_step import build_criterion, make_eval_step
+    from detr_tpu.train.trainer import run_validation
+
+    assert _native.load() is not None, (
+        "native cocoeval kernel failed to build/load — at-scale eval would "
+        "silently fall back to the Python loops"
+    )
+
+    root = "datasets/synth_eval5k"
+    if not os.path.exists(os.path.join(root, "validation", "labels.json")):
+        generate_split(root, "validation", 5000, seed=9)
+
+    batch_size = 16
+    train_config = TrainingConfig(
+        cumulative_train_batch_size=batch_size, train_batch_size=batch_size
+    )
+    detr_config = DETRConfig(dtype="bfloat16", num_classes=80)
+    mesh = make_mesh()
+    dataset = CocoDataset(root, "validation", get_val_transforms(normalize=False))
+    class_names = dataset.class_names
+
+    model = DETR(detr_config)
+    criterion = build_criterion(train_config, detr_config)
+    tx, _ = build_optimizer(train_config)
+    loader = make_eval_loader(
+        dataset, batch_size, max_gt=train_config.max_gt_boxes,
+        shape=train_config.eval_shape,
+    )
+    sample = next(iter(loader))
+    state = create_train_state(
+        model,
+        tx,
+        jax.random.PRNGKey(0),
+        {k: jnp.asarray(v) for k, v in sample.items() if k != "pad_count"},
+    )
+    state = shard_state(state, mesh)
+    eval_step = make_eval_step(model, criterion)
+
+    # Warm pass: compile both eval orientations off the clock.
+    run_validation(
+        (eval_step, state), loader, class_names, limit_val_iters=6, mesh=mesh
+    )
+
+    t0 = time.perf_counter()
+    metrics = run_validation((eval_step, state), loader, class_names, mesh=mesh)
+    dt = time.perf_counter() - t0
+    n = len(dataset)
+    print(
+        json.dumps(
+            {
+                "metric": "eval_images_per_sec_5k",
+                "value": round(n / dt, 2),
+                "unit": "img/s",
+                "vs_baseline": 1.0,
+                "wall_clock_s": round(dt, 1),
+                "images": n,
+                "AP": round(float(metrics.get("AP", 0.0)), 4),
+            }
+        )
+    )
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -335,6 +437,11 @@ def main() -> None:
             backbone="resnet101",
             num_object_queries=300,
         )
+    elif cfg == "eval640":
+        # BASELINE config #1: single 640x640 image, eval forward + on-device
+        # Hungarian match + set loss (no backward/optimizer).
+        batch_size, height, width = 1, 640, 640
+        detr_config = DETRConfig(dtype="bfloat16", use_pallas_attention=use_pallas)
     else:
         raise SystemExit(f"unknown --config {cfg!r}")
     train_config = TrainingConfig(
@@ -373,6 +480,12 @@ def main() -> None:
         return total_loss(criterion(out, _targets_of_batch(b)))
 
     def one_step(s, b):
+        if cfg == "eval640":  # fwd + match + loss only (deterministic)
+            out = model.apply(
+                {"params": s.params, "frozen": s.frozen},
+                b["image"], b["height"], b["width"], True,
+            )
+            return s, total_loss(criterion(out, _targets_of_batch(b)))
         rng_, drng = jax.random.split(s.rng)
         loss, grads = jax.value_and_grad(loss_fn)(s.params, s.frozen, b, drng)
         return s.apply_gradients(grads).replace(rng=rng_), loss
@@ -402,17 +515,43 @@ def main() -> None:
     dt = time.perf_counter() - t0
 
     img_per_s = batch_size * K / dt
-    suffix = "" if cfg == "r50" else f"_{cfg}"
+    suffix = "" if cfg in ("r50", "eval640") else f"_{cfg}"
+    stem = "eval_fwd_match_loss_640" if cfg == "eval640" else "train"
     print(
         json.dumps(
             {
-                "metric": f"train_images_per_sec_per_chip{suffix}",
+                "metric": f"{stem}_images_per_sec_per_chip{suffix}",
                 "value": round(img_per_s, 2),
                 "unit": "img/s",
                 "vs_baseline": round(img_per_s / BASELINE_IMG_PER_S, 3),
             }
         )
     )
+
+    if "--mfu" in sys.argv:
+        # Model FLOPs utilization from the COMPILED program's own cost
+        # analysis (XLA's flop count for the fused K-step loop, so exactly
+        # what ran — not an analytic estimate), against the chip's dense
+        # bf16 peak (round-2 verdict weak #1: publish MFU per config).
+        cost = run.lower(state, warm_batch).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):  # older jax: one dict per device
+            cost = cost[0]
+        flops_per_step = float(cost["flops"]) / K
+        achieved_tflops = flops_per_step / (dt / K) / 1e12
+        kind = jax.devices()[0].device_kind
+        peak = _peak_tflops(kind)
+        print(
+            json.dumps(
+                {
+                    "metric": f"train_step_mfu{suffix}",
+                    "value": round(achieved_tflops / peak, 4) if peak else None,
+                    "unit": f"fraction_of_{kind}_bf16_peak",
+                    "vs_baseline": 1.0,
+                    "tflops_per_sec": round(achieved_tflops, 2),
+                    "gflops_per_image": round(flops_per_step / batch_size / 1e9, 1),
+                }
+            )
+        )
 
 
 if __name__ == "__main__":
@@ -421,5 +560,7 @@ if __name__ == "__main__":
         check_attention_parity()
     elif "--e2e" in sys.argv:
         main_e2e()
+    elif "--eval-scale" in sys.argv:
+        main_eval_scale()
     else:
         main()

@@ -185,6 +185,10 @@ class TrainingConfig:
     # Device batches kept ready ahead of the step by the background
     # prefetcher (data/prefetch.py); 0 disables the prefetch thread.
     prefetch_depth: int = 2
+    # Ship augmented images to the chip as uint8 and normalize inside the
+    # jitted step (4x less host->device bandwidth; ops/image_norm.py).
+    # False reverts to host-side fp32 normalization.
+    device_normalize: bool = True
     # Final epsilon for the on-device auction matcher during training
     # (looser than the 1e-4 parity default: ~25% fewer solver rounds; the
     # matching slack bound 2*eps*G is negligible vs loss magnitudes).

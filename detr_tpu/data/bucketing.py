@@ -74,13 +74,19 @@ def assemble_batch(
     items: Sequence[tuple[np.ndarray, dict]],
     bucket: tuple[int, int],
     max_gt: int = 100,
+    image_dtype: str = "float32",
 ) -> dict[str, np.ndarray]:
-    """Pad images into the bucket and GT to max_gt (fixed shapes)."""
+    """Pad images into the bucket and GT to max_gt (fixed shapes).
+
+    ``image_dtype="uint8"`` keeps un-normalized uint8 images (4x less
+    host->device traffic; the jitted step normalizes on device via
+    ops/image_norm.py) — requires transforms built with ``normalize=False``.
+    """
     B = len(items)
     bh, bw = bucket
     G = max_gt
     batch = {
-        "image": np.zeros((B, bh, bw, 3), np.float32),
+        "image": np.zeros((B, bh, bw, 3), np.dtype(image_dtype)),
         "height": np.zeros((B,), np.int32),
         "width": np.zeros((B,), np.int32),
         "image_id": np.full((B,), -1, np.int32),
@@ -94,7 +100,12 @@ def assemble_batch(
     for b, (img, t) in enumerate(items):
         h, w = img.shape[:2]
         assert h <= bh and w <= bw, f"image ({h},{w}) exceeds bucket {bucket}"
-        if img.dtype == np.uint8:
+        if image_dtype == "uint8":
+            assert img.dtype == np.uint8, (
+                "uint8 batches need normalize=False transforms; got "
+                f"{img.dtype}"
+            )
+        elif img.dtype == np.uint8:
             # Transform deferred normalization to collate (4x less worker
             # IPC); padding stays exactly 0 like the reference's
             # pad-after-normalize (detr/data.py:199-203).

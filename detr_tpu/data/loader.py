@@ -103,6 +103,8 @@ class BucketedLoader:
         seed: int = 0,
         prefetch: int = 4,
         worker_mode: str = "auto",  # "auto" | "process" | "thread"
+        shard: tuple[int, int] = (0, 1),
+        image_dtype: str = "float32",  # "uint8" = device-normalize wire format
     ):
         if worker_mode == "auto":
             # One pool process per core pays IPC for nothing on small hosts
@@ -119,6 +121,10 @@ class BucketedLoader:
         self.seed = seed
         self.prefetch = prefetch
         self.worker_mode = worker_mode
+        if not (0 <= shard[0] < shard[1]):
+            raise ValueError(f"shard index/count {shard} invalid")
+        self.shard = shard
+        self.image_dtype = image_dtype
         self.epoch = 0
         self._pool = None
 
@@ -213,6 +219,13 @@ class BucketedLoader:
         if self.shuffle:
             rng = np.random.default_rng(self.seed + self.epoch)
             rng.shuffle(idx)
+        # Multi-process data parallelism: every process shuffles identically
+        # (same seed/epoch) and keeps a disjoint strided slice, so the union
+        # over processes covers the epoch exactly once (the TPU-native
+        # analog of torch DistributedSampler).
+        index, count = self.shard
+        if count > 1:
+            idx = idx[index::count]
         return idx
 
     def _load_item(self, i: int):
@@ -289,7 +302,10 @@ class BucketedLoader:
             pools[bucket_id].append(item)
             if len(pools[bucket_id]) == self.batch_size:
                 batch = assemble_batch(
-                    pools[bucket_id], self.buckets[bucket_id], self.max_gt
+                    pools[bucket_id],
+                    self.buckets[bucket_id],
+                    self.max_gt,
+                    image_dtype=self.image_dtype,
                 )
                 batch["pad_count"] = np.int32(0)
                 batch["image_valid"] = np.ones(self.batch_size, bool)
@@ -302,7 +318,10 @@ class BucketedLoader:
                 pad = self.batch_size - len(items)
                 items = items + [items[-1]] * pad
                 batch = assemble_batch(
-                    items, self.buckets[bucket_id], self.max_gt
+                    items,
+                    self.buckets[bucket_id],
+                    self.max_gt,
+                    image_dtype=self.image_dtype,
                 )
                 batch["pad_count"] = np.int32(pad)
                 # Padded (repeated) images are excluded from the loss by the
@@ -320,6 +339,8 @@ def make_eval_loader(
     max_gt: int = 100,
     num_workers: int = 2,
     shape: tuple[int, int] | None = None,
+    shard: tuple[int, int] = (0, 1),
+    image_dtype: str = "float32",
 ):
     """Fixed eval shape(s) (reference val transform: 800/1333 -> padded to
 
@@ -340,4 +361,6 @@ def make_eval_loader(
         shuffle=False,
         drop_last=False,
         num_workers=num_workers,
+        shard=shard,
+        image_dtype=image_dtype,
     )

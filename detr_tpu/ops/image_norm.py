@@ -1,0 +1,51 @@
+"""On-device image normalization (uint8 wire format).
+
+The reference normalizes on the CPU inside torchvision transforms
+(reference detr/data.py:60-63) and ships fp32 over PCIe.  TPU-natively
+that is 4x wasted host->device bandwidth: the trainer ships the augmented
+images as uint8 and the jitted step normalizes on device, where the
+multiply/subtract fuses into the first convolution's input handling.
+
+Semantics match the host path exactly (fp32 ``x * scale - bias`` with the
+same folded constants as data/transforms.normalize, i.e. (x/255 - mean)/std)
+including the reference's pad-after-normalize convention
+(detr/data.py:199-203): pixels beyond each image's valid (height, width)
+are forced to exactly 0.0 after normalization.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from detr_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD
+
+_SCALE = (1.0 / (255.0 * IMAGENET_STD)).astype(np.float32)
+_BIAS = (IMAGENET_MEAN / IMAGENET_STD).astype(np.float32)
+
+Array = jax.Array
+
+
+def device_normalize_image(
+    image: Array, height: Array, width: Array
+) -> Array:
+    """(B, H, W, 3) uint8 + per-image valid extents -> fp32 normalized.
+
+    fp32 output regardless of the model's compute dtype — the model casts
+    at its first op like it does for host-normalized input, so the two wire
+    formats are numerically identical.
+    """
+    B, H, W, _ = image.shape
+    x = image.astype(jnp.float32) * _SCALE - _BIAS
+    rows = jnp.arange(H, dtype=jnp.int32)[None, :, None] < height[:, None, None]
+    cols = jnp.arange(W, dtype=jnp.int32)[None, None, :] < width[:, None, None]
+    return jnp.where((rows & cols)[..., None], x, 0.0)
+
+
+def prepare_image(batch_image: Array, height: Array, width: Array) -> Array:
+    """Batch image in either wire format -> normalized fp32 (trace-time
+    static dispatch on dtype)."""
+    if batch_image.dtype == jnp.uint8:
+        return device_normalize_image(batch_image, height, width)
+    return batch_image

@@ -1,3 +1,11 @@
+from detr_tpu.parallel.distributed import (
+    allgather_host,
+    data_shard,
+    initialize_distributed,
+    is_primary,
+    process_count,
+    process_index,
+)
 from detr_tpu.parallel.mesh import (
     assert_divisible,
     batch_sharding,
@@ -14,4 +22,10 @@ __all__ = [
     "shard_batch",
     "shard_state",
     "assert_divisible",
+    "initialize_distributed",
+    "is_primary",
+    "process_index",
+    "process_count",
+    "data_shard",
+    "allgather_host",
 ]

@@ -26,7 +26,8 @@ DATA_AXIS = "data"
 def make_mesh(num_devices: int = 0, devices=None) -> Mesh:
     """1-D data-parallel mesh over the first ``num_devices`` devices
 
-    (all visible devices when 0)."""
+    (all GLOBAL devices when 0 — in a multi-process run this spans every
+    host's chips and the jitted step's gradient psum rides ICI/DCN)."""
     if devices is None:
         devices = jax.devices()
     if num_devices and num_devices > 0:
@@ -44,14 +45,39 @@ def replicate(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: dict[str, Any], mesh: Mesh) -> dict[str, Any]:
-    """Places a host batch onto the mesh, sharded along the data axis."""
+    """Places a host batch onto the mesh, sharded along the data axis.
+
+    Single-process: a plain sharded device_put.  Multi-process (the mesh
+    spans several hosts): ``batch`` is this process's LOCAL rows — its
+    shard of the per-process-sharded dataset — and the global array is
+    assembled from every process's contribution; the global batch size is
+    local_batch * process_count.
+    """
     s = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(s, np.asarray(x)),
+            batch,
+        )
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), batch)
 
 
 def shard_state(state: Any, mesh: Mesh) -> Any:
-    """Replicates a TrainState (params/opt state) across the mesh."""
+    """Replicates a TrainState (params/opt state) across the mesh.
+
+    In a multi-process run every process must hold the same host values
+    (same-seed init or a shared checkpoint restore) — the replicated
+    placement trusts, and asserts nothing about, that agreement, exactly
+    like torch DDP's same-seed contract.
+    """
     r = replicate(mesh)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                r, np.asarray(x)
+            ),
+            state,
+        )
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, r), state)
 
 

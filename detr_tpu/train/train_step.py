@@ -27,6 +27,7 @@ from detr_tpu.config import DETRConfig, TrainingConfig
 from detr_tpu.losses.criterion import SetCriterion, total_loss
 from detr_tpu.matcher.hungarian import HungarianMatcher
 from detr_tpu.models.detr import DETR
+from detr_tpu.ops.image_norm import prepare_image
 
 Array = jax.Array
 
@@ -55,7 +56,11 @@ def create_train_state(
 ) -> TrainState:
     variables = model.init(
         rng,
-        sample_batch["image"],
+        prepare_image(
+            jnp.asarray(sample_batch["image"]),
+            jnp.asarray(sample_batch["height"]),
+            jnp.asarray(sample_batch["width"]),
+        ),
         sample_batch["height"],
         sample_batch["width"],
     )
@@ -113,9 +118,12 @@ def make_train_step(
     """
 
     def loss_fn(params, frozen, batch, dropout_rng):
+        # uint8 wire format (ops/image_norm.py) normalizes here, fused by
+        # XLA into the stem; fp32 batches pass through untouched.
+        image = prepare_image(batch["image"], batch["height"], batch["width"])
         outputs = model.apply(
             {"params": params, "frozen": frozen},
-            batch["image"],
+            image,
             batch["height"],
             batch["width"],
             False,  # deterministic=False: training mode
@@ -147,9 +155,10 @@ def make_eval_step(
 
     @partial(jax.jit, static_argnames=())
     def step(params, frozen, batch):
+        image = prepare_image(batch["image"], batch["height"], batch["width"])
         outputs = model.apply(
             {"params": params, "frozen": frozen},
-            batch["image"],
+            image,
             batch["height"],
             batch["width"],
         )

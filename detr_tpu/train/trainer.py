@@ -43,6 +43,12 @@ from detr_tpu.data import (
 from detr_tpu.eval import DetectionMetrics, PostProcess
 from detr_tpu.models import DETR
 from detr_tpu.parallel import make_mesh, shard_batch, shard_state
+from detr_tpu.parallel.distributed import (
+    allgather_host,
+    data_shard,
+    initialize_distributed,
+    is_primary,
+)
 from detr_tpu.train.checkpoint import CheckpointManager
 from detr_tpu.train.optimizer import (
     build_optimizer,
@@ -81,8 +87,12 @@ def _make_loaders(config: TrainingConfig, synthetic: bool):
         class_names = [f"class_{i}" for i in range(num_classes)]
         return train_ds, val_ds, num_classes, class_names
 
-    # normalize=False: workers ship uint8; batch assembly normalizes
-    # natively in the parent (4x less IPC — see data/loader.py docstring).
+    # normalize=False: workers ship uint8 (4x less IPC); with
+    # device_normalize the uint8 goes all the way to the chip (4x less
+    # host->device bandwidth too) and the jitted step normalizes in-fusion
+    # (ops/image_norm.py); otherwise batch assembly normalizes natively in
+    # the parent (data/loader.py docstring).
+    image_dtype = "uint8" if config.device_normalize else "float32"
     train_dataset = CocoDataset(
         config.coco_dataset_root,
         "train",
@@ -100,6 +110,11 @@ def _make_loaders(config: TrainingConfig, synthetic: bool):
         drop_last=True,
         num_workers=config.num_workers,
         seed=config.seed,
+        # Each process loads a disjoint dataset shard; train_batch_size is
+        # PER PROCESS (the reference's per-GPU batch semantics) and the
+        # global batch is train_batch_size * process_count.
+        shard=data_shard(),
+        image_dtype=image_dtype,
     )
     val_loader = make_eval_loader(
         val_dataset,
@@ -107,6 +122,7 @@ def _make_loaders(config: TrainingConfig, synthetic: bool):
         max_gt=config.max_gt_boxes,
         num_workers=config.num_workers,
         shape=config.eval_shape,
+        image_dtype=image_dtype,
     )
     return train_loader, val_loader, train_dataset.num_classes, train_dataset.class_names
 
@@ -116,10 +132,20 @@ def train_DETR(
     detr_config: DETRConfig,
     synthetic: bool = False,
 ) -> dict:
-    """Full training run; returns the final validation metrics."""
+    """Full training run; returns the final validation metrics.
+
+    In a multi-process launch (see parallel/distributed.py) every host runs
+    this same function: the mesh spans all hosts' chips, the train loader
+    reads this process's dataset shard, and host-side effects (tensorboard,
+    mAP accumulation, checkpoint writes of the replicated state) happen on
+    process 0 only — non-primary processes return empty val metrics.
+    """
+    initialize_distributed()
     os.makedirs(config.output_dir, exist_ok=True)
     mesh = make_mesh(config.num_devices)
-    tracker = MetricLogger(os.path.join(config.output_dir, "logs"))
+    tracker = MetricLogger(
+        os.path.join(config.output_dir, "logs") if is_primary() else None
+    )
     ckpt = CheckpointManager(config.output_dir, config.checkpoint_total_limit)
 
     train_loader, val_loader, num_classes, class_names = _make_loaders(
@@ -169,11 +195,12 @@ def train_DETR(
         # ~1e4 at layer4 and stall training; pretrained weights ship their
         # own stats so this only applies to the random-init path).
         from detr_tpu.models import calibrate_frozen_bn
+        from detr_tpu.ops.image_norm import prepare_image
 
         cal = calibrate_frozen_bn(
             detr_config,
             {"params": state.params, "frozen": state.frozen},
-            sample["image"],
+            prepare_image(sample["image"], sample["height"], sample["width"]),
         )
         state = state.replace(frozen=cal["frozen"])
         logger.info("calibrated frozen-BN statistics (no pretrained backbone)")
@@ -261,7 +288,9 @@ def train_DETR(
                 )
             global_step += 1
 
-        if epoch % config.checkpoint_epochs == 0:
+        if epoch % config.checkpoint_epochs == 0 and is_primary():
+            # State is fully replicated, so process 0's copy is the whole
+            # checkpoint; non-primary writes to the same path would race.
             ckpt.save(epoch, jax.device_get(state), extra={"epoch": epoch})
 
         if epoch % config.eval_epochs == 0 or epoch == config.epochs - 1:
@@ -372,6 +401,19 @@ def run_validation(
             # a val_batch_size that isn't a mesh multiple must not silently
             # degrade to single-device (round-2 verdict weak #3).
             batch, pad = _pad_batch_to_multiple(batch, pad, mesh.size)
+        host_batch = batch
+        if jax.process_count() > 1:
+            # Multi-process eval: every process iterates the FULL val set
+            # (deterministic unsharded loader) and contributes its
+            # contiguous row block of each batch to the global array; the
+            # devices of process p are the p-th block of the 1-D mesh.
+            B = host_batch["image"].shape[0]
+            bl = B // jax.process_count()
+            lo = jax.process_index() * bl
+            batch = {
+                k: (v[lo:lo + bl] if np.ndim(v) else v)
+                for k, v in batch.items()
+            }
         device_batch = {
             k: jnp.asarray(v) for k, v in batch.items() if k != "pad_count"
         }
@@ -379,32 +421,42 @@ def run_validation(
             device_batch = shard_batch(device_batch, mesh)
         outputs, loss_dict = eval_step(state.params, state.frozen, device_batch)
 
-        n_img = device_batch["image"].shape[0] - pad
+        n_img = host_batch["image"].shape[0] - pad
         total_images += n_img
         for k, v in loss_dict.items():
             avg_loss[k] = avg_loss.get(k, 0.0) + float(v) * n_img
 
-        preds = post_process(
-            outputs["pred_logits"][:, -1],
-            outputs["pred_boxes"][:, -1],
-            device_batch["height"],
-            device_batch["width"],
+        # Host pull for PostProcess/mAP; gathers non-addressable shards
+        # from the other hosts in a multi-process run.
+        last_layer = allgather_host(
+            {
+                "pred_logits": outputs["pred_logits"][:, -1],
+                "pred_boxes": outputs["pred_boxes"][:, -1],
+            }
         )
-        metrics.update(preds, batch)
+        if not is_primary():
+            continue  # host-side metrics/viz are process-0 work
+        preds = post_process(
+            last_layer["pred_logits"],
+            last_layer["pred_boxes"],
+            jnp.asarray(host_batch["height"]),
+            jnp.asarray(host_batch["width"]),
+        )
+        metrics.update(preds, host_batch)
 
         if step_i == 0 and tracker is not None and log_images:
             gt_items, pred_items = [], []
             for i in range(min(n_img, 25)):
-                img = np.asarray(device_batch["image"][i])
-                valid = np.asarray(batch["gt_valid"][i])
+                img = np.asarray(host_batch["image"][i])
+                valid = np.asarray(host_batch["gt_valid"][i])
                 names = [
                     class_names[c]
-                    for c in np.asarray(batch["class_idx"][i])[valid]
+                    for c in np.asarray(host_batch["class_idx"][i])[valid]
                 ]
                 gt_items.append(
                     {
                         "image": img,
-                        "boxes": np.asarray(batch["boxes"][i])[valid],
+                        "boxes": np.asarray(host_batch["boxes"][i])[valid],
                         "class_names": names,
                     }
                 )
@@ -439,7 +491,7 @@ def run_validation(
             {k: v / total_images for k, v in avg_loss.items()}, global_step, "val"
         )
 
-    return metrics.compute()
+    return metrics.compute() if is_primary() else {}
 
 
 def get_args() -> argparse.Namespace:
@@ -449,7 +501,14 @@ def get_args() -> argparse.Namespace:
     parser.add_argument("--output-dir", type=str, default="runs/detr")
     parser.add_argument("--coco-dataset-root", type=str, default="datasets/coco-2017")
     parser.add_argument("--train-batch-size", type=int, default=5)
+    parser.add_argument(
+        "--cumulative-train-batch-size",
+        type=int,
+        default=64,
+        help="effective batch via gradient accumulation (reference train.py:116)",
+    )
     parser.add_argument("--val-batch-size", type=int, default=25)
+    parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--epochs", type=int, default=100)
     parser.add_argument("--lr-warmup-epochs", type=int, default=5)
     parser.add_argument("--lr-hold-max-epochs", type=int, default=35)
@@ -476,12 +535,21 @@ def main() -> int:
     # which case a plain basicConfig is a no-op and every INFO line (param
     # count, per-step loss, validation AP) is silently dropped.
     logging.basicConfig(level=logging.INFO, force=True)
+    # Persistent XLA compile cache: the full-size train step costs minutes
+    # per bucket shape to compile; crash/resume and repeat runs reuse it.
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_CACHE_DIR", os.path.abspath(".jax_cache")),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     args = get_args()
     config = TrainingConfig(
         output_dir=args.output_dir,
         coco_dataset_root=args.coco_dataset_root,
         train_batch_size=args.train_batch_size,
+        cumulative_train_batch_size=args.cumulative_train_batch_size,
         val_batch_size=args.val_batch_size,
+        seed=args.seed,
         epochs=args.epochs,
         lr_warmup_epochs=args.lr_warmup_epochs,
         lr_hold_max_epochs=args.lr_hold_max_epochs,

@@ -17,3 +17,10 @@ python -m detr_tpu.train.trainer \
 # Debug variants (reference train.sh:8-21):
 # python -m detr_tpu.train.trainer --synthetic --epochs 2 --limit-train-iters 10 --limit-val-iters 2 --output-dir /tmp/detr-smoke
 # python -m detr_tpu.train.trainer --resume-from-checkpoint "$OUTPUT_DIR" --start-epoch 50 --epochs 100
+
+# Multi-host (pod slice): run the SAME command on every host. On Cloud TPU
+# VMs jax.distributed autodetects coordinator/process-id from the metadata
+# server; elsewhere set the trio explicitly (parallel/distributed.py):
+#   JAX_COORDINATOR=host0:8476 JAX_NUM_PROCESSES=4 JAX_PROCESS_ID=$i ./train.sh
+# Each process loads a disjoint dataset shard; --train-batch-size is PER
+# PROCESS; checkpoints/tensorboard/mAP are written by process 0 only.
