@@ -44,9 +44,22 @@ def class_palette_uint8(num_classes: int = NUM_CLASSES) -> np.ndarray:
 
 
 def _make_image(
-    rng: np.random.Generator, num_classes: int, pal: np.ndarray
+    rng: np.random.Generator,
+    num_classes: int,
+    pal: np.ndarray,
+    boxes_per_image: tuple[int, int] = (1, 9),
+    max_overlap: float | None = None,
 ) -> tuple[np.ndarray, list[dict]]:
-    """Returns (HxWx3 uint8 image, list of {bbox XYWH, category_id})."""
+    """Returns (HxWx3 uint8 image, list of {bbox XYWH, category_id}).
+
+    ``boxes_per_image`` is a half-open ``rng.integers`` range.  With
+    ``max_overlap`` set, each new box must keep intersection-over-min-area
+    < max_overlap against every accepted box (rejection sampling): boxes
+    are painted back-to-front, so an uncapped small box can be fully
+    occluded by a later one — unpredictable GT that acts as label noise.
+    Dense + capped is the configuration for DETR convergence runs, where
+    matched-slot count per image is the classification learning signal
+    (each of the 100 queries only receives class gradient when matched)."""
     h = int(rng.integers(320, 641))
     w = int(rng.integers(320, 641))
     img = np.clip(
@@ -54,14 +67,31 @@ def _make_image(
     ).astype(np.uint8)
 
     anns = []
-    n_boxes = int(rng.integers(1, 9))
+    placed: list[tuple[int, int, int, int]] = []  # x0, y0, x1, y1
+    n_boxes = int(rng.integers(*boxes_per_image))
     for _ in range(n_boxes):
-        bw = int(rng.integers(40, max(41, w // 2)))
-        bh = int(rng.integers(40, max(41, h // 2)))
-        x0 = int(rng.integers(0, max(1, w - bw)))
-        y0 = int(rng.integers(0, max(1, h - bh)))
+        for _attempt in range(30):
+            bw = int(rng.integers(40, max(41, w // 2)))
+            bh = int(rng.integers(40, max(41, h // 2)))
+            x0 = int(rng.integers(0, max(1, w - bw)))
+            y0 = int(rng.integers(0, max(1, h - bh)))
+            if max_overlap is None:
+                break
+            ok = True
+            for px0, py0, px1, py1 in placed:
+                iw = min(x0 + bw, px1) - max(x0, px0)
+                ih = min(y0 + bh, py1) - max(y0, py0)
+                inter = max(0, iw) * max(0, ih)
+                if inter / min(bw * bh, (px1 - px0) * (py1 - py0)) >= max_overlap:
+                    ok = False
+                    break
+            if ok:
+                break
+        else:
+            continue  # no non-occluding placement found; skip this box
         cls = int(rng.integers(0, num_classes))
         img[y0 : y0 + bh, x0 : x0 + bw] = pal[cls]
+        placed.append((x0, y0, x0 + bw, y0 + bh))
         anns.append({"bbox": [x0, y0, bw, bh], "category_idx": cls})
     return img, anns
 
@@ -73,6 +103,8 @@ def generate_split(
     num_classes: int = NUM_CLASSES,
     seed: int = 0,
     quality: int = 95,
+    boxes_per_image: tuple[int, int] = (1, 9),
+    max_overlap: float | None = None,
 ) -> None:
     data_dir = os.path.join(root, split, "data")
     os.makedirs(data_dir, exist_ok=True)
@@ -82,7 +114,9 @@ def generate_split(
     images, annotations = [], []
     ann_id = 1
     for i in range(n_images):
-        img, anns = _make_image(rng, num_classes, pal)
+        img, anns = _make_image(
+            rng, num_classes, pal, boxes_per_image, max_overlap
+        )
         file_name = f"{split}_{i:06d}.jpg"
         Image.fromarray(img).save(
             os.path.join(data_dir, file_name), quality=quality
@@ -126,9 +160,23 @@ def main() -> int:
     p.add_argument("--val", type=int, default=500)
     p.add_argument("--num-classes", type=int, default=NUM_CLASSES)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument(
+        "--boxes", type=int, nargs=2, default=(1, 9), metavar=("LO", "HI"),
+        help="boxes per image, half-open range (dense: 8 16)",
+    )
+    p.add_argument(
+        "--max-overlap", type=float, default=None,
+        help="cap pairwise intersection-over-min-area (dense: 0.3)",
+    )
     args = p.parse_args()
-    generate_split(args.root, "train", args.train, args.num_classes, args.seed)
-    generate_split(args.root, "validation", args.val, args.num_classes, args.seed + 1)
+    generate_split(
+        args.root, "train", args.train, args.num_classes, args.seed,
+        boxes_per_image=tuple(args.boxes), max_overlap=args.max_overlap,
+    )
+    generate_split(
+        args.root, "validation", args.val, args.num_classes, args.seed + 1,
+        boxes_per_image=tuple(args.boxes), max_overlap=args.max_overlap,
+    )
     print(f"wrote {args.train}+{args.val} images under {args.root}")
     return 0
 
