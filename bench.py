@@ -249,6 +249,9 @@ def main_e2e() -> None:
         drop_last=True,
         num_workers=train_config.num_workers,
         seed=0,
+        # Measure the shipped trainer configuration: uint8 wire format,
+        # normalization fused on device (trainer.py device_normalize).
+        image_dtype="uint8",
     )
 
     model = DETR(detr_config)
@@ -271,15 +274,16 @@ def main_e2e() -> None:
     train_step = make_train_step(model, criterion, donate=True)
 
     # Warm every bucket shape so the timed loop measures steady state, not
-    # XLA compiles (first compile through the relay is minutes).
+    # XLA compiles (first compile through the relay is minutes).  Warm
+    # batches must match the loader's uint8 wire dtype or the timed loop
+    # would recompile per bucket.
     for h, w in train_config.shape_buckets:
-        b = {
-            k: jnp.asarray(v)
-            for k, v in synthetic_batch(
-                rng, batch_size=batch_size, height=h, width=w,
-                max_gt=train_config.max_gt_boxes,
-            ).items()
-        }
+        b = synthetic_batch(
+            rng, batch_size=batch_size, height=h, width=w,
+            max_gt=train_config.max_gt_boxes,
+        )
+        b["image"] = np.clip(b["image"] * 64 + 128, 0, 255).astype(np.uint8)
+        b = {k: jnp.asarray(v) for k, v in b.items()}
         state, m = train_step(state, shard_batch(b, mesh))
     _ = float(m["loss"])
 
