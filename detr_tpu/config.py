@@ -193,6 +193,19 @@ class TrainingConfig:
     # (looser than the 1e-4 parity default: ~25% fewer solver rounds; the
     # matching slack bound 2*eps*G is negligible vs loss magnitudes).
     matcher_eps_min: float = 1e-3
+    # Materialize the previous step's loss every N steps.  Bounds the
+    # host's async dispatch run-ahead to ~2 steps: without it, a stalled
+    # device lets the loop enqueue the whole epoch (each queued step pins
+    # its batch buffers — observed 22 GB RSS on a wedged transport) and a
+    # hang surfaces only at the next log line.  The fetch overlaps the
+    # in-flight step, so steady-state throughput is unaffected.  0 = off.
+    dispatch_sync_steps: int = 1
+    # Fail-fast when no step/eval/checkpoint completes for this long
+    # (utils/watchdog.py exits WEDGED_EXIT_CODE=42 so a retry wrapper can
+    # relaunch; checkpoint auto-restore resumes the run).  Must exceed the
+    # longest legitimate gap — a cold-cache XLA compile of the fused step
+    # through the relay (~13 min observed).  0 disables.
+    watchdog_secs: float = 1200.0
 
     @property
     def gradient_accumulation_steps(self) -> int:

@@ -63,6 +63,7 @@ from detr_tpu.train.train_step import (
 )
 from detr_tpu.utils.logging import MetricLogger
 from detr_tpu.utils.profiling import StepTimer
+from detr_tpu.utils.watchdog import Watchdog
 from detr_tpu.viz import plot_grid
 
 logger = logging.getLogger(__name__)
@@ -233,6 +234,7 @@ def train_DETR(
     global_step = int(jax.device_get(state.step))
     val_metrics: dict = {}
     timer = StepTimer(config.train_batch_size)
+    watchdog = Watchdog(config.watchdog_secs)
     for epoch in range(first_epoch, config.epochs):
         epoch_t0 = time.time()
         # Per-epoch LR step (reference scheduler.step(), train.py:288): inject
@@ -259,11 +261,28 @@ def train_DETR(
             )
         else:
             batch_iter = (_place(b) for b in train_loader)
+        pending_loss = None  # previous step's loss handle (1-step sync)
         for step_i, batch in enumerate(batch_iter):
             if config.limit_train_iters > 0 and step_i >= config.limit_train_iters:
                 batch_iter.close()  # stop the prefetch thread promptly
                 break
             state, metrics = train_step(state, batch)
+            # Bound dispatch run-ahead: materialize step i-1's loss while
+            # step i executes (config.dispatch_sync_steps).  Through the
+            # relay, float() is what forces execution — block_until_ready
+            # does not.  Doubles as the watchdog heartbeat and as an early
+            # NaN tripwire on the training loss.
+            if pending_loss is not None and (
+                config.dispatch_sync_steps > 0
+                and step_i % config.dispatch_sync_steps == 0
+            ):
+                prev = float(pending_loss)
+                watchdog.beat()
+                if not np.isfinite(prev):
+                    raise FloatingPointError(
+                        f"non-finite training loss {prev} at step {global_step - 1}"
+                    )
+            pending_loss = metrics["loss"]
 
             perf = timer.tick()
             if step_i % config.log_frequency == 0:
@@ -292,8 +311,13 @@ def train_DETR(
             # State is fully replicated, so process 0's copy is the whole
             # checkpoint; non-primary writes to the same path would race.
             ckpt.save(epoch, jax.device_get(state), extra={"epoch": epoch})
+            watchdog.beat()
 
         if epoch % config.eval_epochs == 0 or epoch == config.epochs - 1:
+            # Validation's dispatch cadence differs from training's (fresh
+            # eval-shape compiles, host-side COCOeval); exempt it rather
+            # than tune a second timeout.
+            watchdog.pause()
             val_metrics = run_validation(
                 model_state=(eval_step, state),
                 val_loader=val_loader,
@@ -304,6 +328,7 @@ def train_DETR(
                 log_images=(epoch % max(config.save_image_epochs, 1) == 0),
                 mesh=mesh,
             )
+            watchdog.resume()
             logger.info(
                 "Validation [epoch %d]: AP %.3f AP50 %.3f",
                 epoch,
@@ -328,6 +353,7 @@ def train_DETR(
             )
         logger.info("epoch %d done in %.1fs", epoch, time.time() - epoch_t0)
 
+    watchdog.stop()
     tracker.close()
     ckpt.close()
     return val_metrics

@@ -1,0 +1,107 @@
+"""Fail-fast watchdog for wedged device dispatches.
+
+Long training runs through a remote-TPU transport can wedge *silently*: a
+dispatch is lost in flight, every JAX call afterwards blocks on a futex,
+and the host keeps enqueueing work (each queued step pins its batch
+buffers, so RSS grows without bound while no step completes — observed in
+the round-3 dense run: 29 minutes of zero progress at 22 GB RSS before the
+process was killed by hand).
+
+A Python thread cannot interrupt a blocked C extension call, so recovery
+is process-level by design: when ``beat()`` has not been called for
+``timeout_secs`` the watchdog dumps every thread's traceback (stderr) and
+hard-exits with a distinctive code.  The trainer's checkpoint auto-restore
+(train/trainer.py) turns that into a clean resume on relaunch — pair it
+with a retry loop, e.g.::
+
+    until python -m detr_tpu.train.trainer ...; do
+      test $? -eq 42 || break   # only the watchdog code auto-relaunches
+      sleep 30
+    done
+
+The reference has no analog (NCCL aborts surface as process aborts there;
+reference detr/train.py relies on torchrun restarts).
+"""
+
+from __future__ import annotations
+
+import faulthandler
+import logging
+import os
+import sys
+import threading
+import time
+
+logger = logging.getLogger(__name__)
+
+#: Exit code signalling "wedged dispatch, relaunch me" to retry wrappers.
+WEDGED_EXIT_CODE = 42
+
+
+class Watchdog:
+    """Hard-exits the process when no ``beat()`` arrives for ``timeout_secs``.
+
+    ``timeout_secs <= 0`` disables the watchdog entirely (no thread).
+    ``beat()`` is cheap (one monotonic read + store) and thread-safe.
+    Use ``pause()``/``resume()`` around phases that legitimately block for
+    a long time with no heartbeat (first XLA compile through a cold cache
+    can take >10 minutes).
+    """
+
+    def __init__(self, timeout_secs: float, poll_secs: float = 10.0):
+        self.timeout_secs = float(timeout_secs)
+        self._last = time.monotonic()
+        self._paused = False
+        self._stopped = False
+        self._lock = threading.Lock()
+        self._thread: threading.Thread | None = None
+        if self.timeout_secs > 0:
+            self._thread = threading.Thread(
+                target=self._run,
+                args=(float(poll_secs),),
+                daemon=True,
+                name="dispatch-watchdog",
+            )
+            self._thread.start()
+
+    def beat(self) -> None:
+        with self._lock:
+            self._last = time.monotonic()
+
+    def pause(self) -> None:
+        with self._lock:
+            self._paused = True
+
+    def resume(self) -> None:
+        with self._lock:
+            self._last = time.monotonic()
+            self._paused = False
+
+    def stop(self) -> None:
+        with self._lock:
+            self._stopped = True
+
+    def _run(self, poll_secs: float) -> None:
+        while True:
+            time.sleep(poll_secs)
+            with self._lock:
+                if self._stopped:
+                    return
+                if self._paused:
+                    continue
+                silent = time.monotonic() - self._last
+            if silent > self.timeout_secs:
+                logger.critical(
+                    "watchdog: no heartbeat for %.0fs (limit %.0fs) — "
+                    "dispatch presumed wedged; dumping tracebacks and "
+                    "exiting %d for the retry wrapper",
+                    silent,
+                    self.timeout_secs,
+                    WEDGED_EXIT_CODE,
+                )
+                try:
+                    faulthandler.dump_traceback(file=sys.stderr)
+                    sys.stderr.flush()
+                except Exception:
+                    pass
+                os._exit(WEDGED_EXIT_CODE)
