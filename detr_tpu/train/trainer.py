@@ -141,17 +141,28 @@ def train_DETR(
     mAP accumulation, checkpoint writes of the replicated state) happen on
     process 0 only — non-primary processes return empty val metrics.
     """
+    # Arm the watchdog BEFORE the first JAX call: if the remote-TPU
+    # transport is dead at (re)launch time, device discovery inside
+    # initialize_distributed()/make_mesh() blocks forever, and an unarmed
+    # process would hang instead of handing exit 42 to the retry wrapper.
+    watchdog = Watchdog(config.watchdog_secs)
     initialize_distributed()
     os.makedirs(config.output_dir, exist_ok=True)
     mesh = make_mesh(config.num_devices)
+    watchdog.beat()
     tracker = MetricLogger(
         os.path.join(config.output_dir, "logs") if is_primary() else None
     )
     ckpt = CheckpointManager(config.output_dir, config.checkpoint_total_limit)
 
+    # Loader setup is host-only (dataset parse, synthetic generation on
+    # first use) — it cannot wedge on the transport, so it doesn't count
+    # against the dispatch timeout.
+    watchdog.pause()
     train_loader, val_loader, num_classes, class_names = _make_loaders(
         config, synthetic
     )
+    watchdog.resume()
     # mixed_precision is the single precision authority under the trainer
     # (reference train.py:75 autocast): bf16 compute / fp32 params vs fp32.
     detr_config = detr_config.replace(
@@ -166,6 +177,7 @@ def train_DETR(
     sample = next(iter(train_loader))
     sample = {k: jnp.asarray(v) for k, v in sample.items() if k != "pad_count"}
     state = create_train_state(model, tx, jax.random.PRNGKey(config.seed), sample)
+    watchdog.beat()
     n_params = sum(
         int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(state.params)
     )
@@ -232,9 +244,9 @@ def train_DETR(
     eval_step = make_eval_step(model, criterion)
 
     global_step = int(jax.device_get(state.step))
+    watchdog.beat()  # startup (init/calibration/restore dispatches) done
     val_metrics: dict = {}
     timer = StepTimer(config.train_batch_size)
-    watchdog = Watchdog(config.watchdog_secs)
     for epoch in range(first_epoch, config.epochs):
         epoch_t0 = time.time()
         # Per-epoch LR step (reference scheduler.step(), train.py:288): inject
@@ -314,10 +326,6 @@ def train_DETR(
             watchdog.beat()
 
         if epoch % config.eval_epochs == 0 or epoch == config.epochs - 1:
-            # Validation's dispatch cadence differs from training's (fresh
-            # eval-shape compiles, host-side COCOeval); exempt it rather
-            # than tune a second timeout.
-            watchdog.pause()
             val_metrics = run_validation(
                 model_state=(eval_step, state),
                 val_loader=val_loader,
@@ -327,8 +335,9 @@ def train_DETR(
                 global_step=global_step,
                 log_images=(epoch % max(config.save_image_epochs, 1) == 0),
                 mesh=mesh,
+                watchdog=watchdog,
             )
-            watchdog.resume()
+            watchdog.resume()  # reset the clock after host-side mAP compute
             logger.info(
                 "Validation [epoch %d]: AP %.3f AP50 %.3f",
                 epoch,
@@ -396,6 +405,7 @@ def run_validation(
     global_step: int = 0,
     log_images: bool = True,
     mesh=None,
+    watchdog=None,
 ) -> dict:
     """Validation loop (reference detr/train.py:358-458): loss averaging
 
@@ -451,6 +461,11 @@ def run_validation(
         total_images += n_img
         for k, v in loss_dict.items():
             avg_loss[k] = avg_loss.get(k, 0.0) + float(v) * n_img
+        if watchdog is not None:
+            # float(v) above materialized this batch's dispatch — a true
+            # per-batch liveness signal (a wedge mid-eval must fail fast
+            # too, not hang behind a paused watchdog).
+            watchdog.beat()
 
         # Host pull for PostProcess/mAP; gathers non-addressable shards
         # from the other hosts in a multi-process run.
@@ -517,6 +532,11 @@ def run_validation(
             {k: v / total_images for k, v in avg_loss.items()}, global_step, "val"
         )
 
+    if watchdog is not None:
+        # mAP accumulation below is host-only work (native COCOeval kernel)
+        # with no device dispatch to watch; at 5k-image scale it can
+        # legitimately outlast the dispatch timeout.  The caller resumes.
+        watchdog.pause()
     return metrics.compute() if is_primary() else {}
 
 

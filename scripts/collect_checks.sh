@@ -12,10 +12,15 @@ ROUND="${1:-03}"
 OUT="CHECKS_r${ROUND}.json"
 : > "$OUT"
 
+CHECK_TIMEOUT="${CHECK_TIMEOUT:-1500}" # per-bench bound: a wedged tunnel
+                                       # dispatch must not stall the whole
+                                       # collection (axon transport can die
+                                       # mid-run; see utils/watchdog.py)
+
 run() { # run <label> <args...>: append bench JSON lines, annotate failures
   local label="$1"; shift
   echo "== $label: python bench.py $*" >&2
-  if ! python bench.py "$@" | grep '^{' >> "$OUT"; then
+  if ! timeout "$CHECK_TIMEOUT" python bench.py "$@" | grep '^{' >> "$OUT"; then
     echo "{\"metric\": \"${label}\", \"value\": null, \"unit\": \"FAILED\", \"vs_baseline\": 0}" >> "$OUT"
   fi
 }

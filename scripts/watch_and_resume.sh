@@ -1,0 +1,35 @@
+#!/usr/bin/env bash
+# Unattended round-3 recovery sequence for a dead axon TPU tunnel:
+#   1. probe the tunnel from a FRESH python every 2 min (a fresh process
+#      distinguishes tunnel death from a stuck client — see
+#      utils/watchdog.py docstring) until a real dispatch round-trips;
+#   2. collect the round's perishable CHECKS artifacts (bounded per-bench
+#      by CHECK_TIMEOUT in collect_checks.sh);
+#   3. relaunch the dense learning-proof run under the watchdog retry
+#      wrapper (checkpoint auto-restore resumes from the last epoch).
+#
+# Usage: nohup scripts/watch_and_resume.sh > /tmp/tpu_watch.log 2>&1 &
+set -uo pipefail
+cd "$(dirname "$0")/.."
+
+while true; do
+  if timeout 240 python -c \
+    "import jax; print('probe ok', float(jax.numpy.ones((8,8)).sum()))"; then
+    break
+  fi
+  echo "$(date -u +%H:%M:%S) tunnel still down"
+  sleep 120
+done
+echo "$(date -u +%H:%M:%S) tunnel BACK — collecting checks"
+
+bash scripts/collect_checks.sh 03 > /tmp/checks_r03.log 2>&1
+echo "$(date -u +%H:%M:%S) checks done (exit $?)"
+
+MAX_RESTARTS=40 nohup bash scripts/train_with_retry.sh \
+  --coco-dataset-root datasets/synth3k_dense \
+  --output-dir runs/proof_r3b \
+  --train-batch-size 8 --cumulative-train-batch-size 16 \
+  --val-batch-size 16 --epochs 50 --eval-epochs 5 \
+  >> runs/proof_r3b.log 2>&1 &
+echo $! > /tmp/proof.pid
+echo "$(date -u +%H:%M:%S) proof run relaunched, pid $(cat /tmp/proof.pid)"

@@ -133,6 +133,45 @@ def test_multi_device_validation_parity():
         assert meshed[k] == pytest.approx(plain[k], rel=1e-4, abs=1e-6), k
 
 
+def test_validation_beats_watchdog_per_batch():
+    """run_validation must emit one watchdog heartbeat per eval batch and
+    pause the dog before the host-only mAP compute at the end — a wedged
+    dispatch mid-eval has to fail fast (exit 42 to the retry wrapper)
+    instead of hanging behind a blanket pause, while the long host-side
+    COCOeval must not be mistaken for a wedge (utils/watchdog.py)."""
+    from detr_tpu.train.train_step import make_eval_step
+    from detr_tpu.train.trainer import run_validation
+
+    class RecordingDog:
+        def __init__(self):
+            self.events = []
+
+        def beat(self):
+            self.events.append("beat")
+
+        def pause(self):
+            self.events.append("pause")
+
+    state, _, _ = make_setup(batch_size=4)
+    model = DETR(TINY)
+    tc = TrainingConfig(cumulative_train_batch_size=4, train_batch_size=4)
+    criterion = build_criterion(tc, TINY)
+    eval_step = make_eval_step(model, criterion)
+
+    rng = np.random.default_rng(4)
+    batches = []
+    for _ in range(3):
+        b = synthetic_batch(rng, 4, 64, 64, max_gt=5, num_classes=7)
+        b["image_valid"] = np.ones(4, bool)
+        b["pad_count"] = np.int32(0)
+        batches.append(b)
+    names = [f"c{i}" for i in range(7)]
+
+    dog = RecordingDog()
+    run_validation((eval_step, state), batches, names, watchdog=dog)
+    assert dog.events == ["beat"] * len(batches) + ["pause"]
+
+
 def test_multi_device_data_parallel():
     assert jax.device_count() >= 8, "conftest must provide 8 virtual devices"
     mesh = make_mesh(8)
