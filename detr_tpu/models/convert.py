@@ -129,6 +129,135 @@ def apply_backbone_weights(variables: dict, params: dict, frozen: dict) -> dict:
     return new_vars
 
 
+def _np(v) -> np.ndarray:
+    """torch tensor or array-like -> fp32 numpy (torch optional)."""
+    if hasattr(v, "detach"):
+        v = v.detach().cpu().numpy()
+    return np.asarray(v, np.float32)
+
+
+def convert_transformer_state_dict(sd: Mapping, config) -> dict:
+    """Reference transformer+heads state_dict slice -> flax param tree.
+
+    Maps the reference's non-backbone modules (detr/model.py:36-48:
+    ``input_proj`` 1x1 conv, ``object_query_embedding``, pre-LN
+    encoder/decoder stacks, shared class/bbox heads) onto
+    ``detr_tpu.models.detr.DETR``'s parameter structure: torch
+    ``Linear.weight`` transposes to the Dense kernel, the 1x1 conv
+    collapses to a Dense, the reference's ``Sequential`` FFN/MLP indices
+    (Linear @0/@3, ``net.{0,2,4}``) become ``fc1/fc2`` / ``fc{i}``.
+    """
+
+    def dense(prefix):
+        return {"kernel": _np(sd[f"{prefix}.weight"]).T, "bias": _np(sd[f"{prefix}.bias"])}
+
+    def ln(prefix):
+        return {"scale": _np(sd[f"{prefix}.weight"]), "bias": _np(sd[f"{prefix}.bias"])}
+
+    def attention(prefix):
+        return {
+            "query_proj": dense(f"{prefix}.query_proj"),
+            "key_proj": dense(f"{prefix}.key_proj"),
+            "value_proj": dense(f"{prefix}.value_proj"),
+            "output_proj": dense(f"{prefix}.output_proj"),
+        }
+
+    def ffn(prefix):
+        # reference FFN is a Sequential: Linear @0, GELU, Dropout, Linear @3
+        return {"fc1": dense(f"{prefix}.layers.0"), "fc2": dense(f"{prefix}.layers.3")}
+
+    params: dict = {
+        # 1x1 conv (out, in, 1, 1) -> Dense kernel (in, out)
+        "input_proj": {
+            "kernel": _np(sd["input_proj.weight"])[:, :, 0, 0].T,
+            "bias": _np(sd["input_proj.bias"]),
+        },
+        "object_query_embedding": _np(sd["object_query_embedding.weight"]),
+        "class_embedding": dense("class_embedding"),
+        "bbox_embedding": {
+            # reference MLP is a Sequential with GELUs between Linears
+            f"fc{i}": dense(f"bbox_embedding.net.{2 * i}")
+            for i in range(config.box_embedding_mlp_num_layers)
+        },
+    }
+
+    encoder: dict = {"norm": ln("encoder.norm")}
+    for i in range(config.num_encoder_layers):
+        p = f"encoder.layers.{i}"
+        encoder[f"layer{i}"] = {
+            "norm1": ln(f"{p}.norm1"),
+            "norm2": ln(f"{p}.norm2"),
+            "self_attention": attention(f"{p}.self_attention"),
+            "ffn": ffn(f"{p}.ffn"),
+        }
+    params["encoder"] = encoder
+
+    decoder: dict = {"norm": ln("decoder.norm")}
+    for i in range(config.num_decoder_layers):
+        p = f"decoder.layers.{i}"
+        decoder[f"layer{i}"] = {
+            "norm1": ln(f"{p}.norm1"),
+            "norm2": ln(f"{p}.norm2"),
+            "norm3": ln(f"{p}.norm3"),
+            "self_attention": attention(f"{p}.self_attention"),
+            "cross_attention": attention(f"{p}.cross_attention"),
+            "ffn": ffn(f"{p}.ffn"),
+        }
+    params["decoder"] = decoder
+    return params
+
+
+def convert_detr_state_dict(sd: Mapping, config) -> tuple[dict, dict]:
+    """FULL reference DETR checkpoint -> (params, frozen) flax trees.
+
+    ``sd`` is the reference model's complete ``state_dict`` — e.g. the
+    ``model.safetensors`` that ``accelerator.save_state()`` writes
+    (reference detr/train.py:286) or the weights-only resume file it loads
+    (train.py:224).  Backbone keys arrive under the reference's
+    ``backbone.backbone.`` prefix (Backbone wraps an
+    ``IntermediateLayerGetter``, detr/model.py:433); they are stripped and
+    routed through :func:`convert_torch_state_dict`, everything else
+    through :func:`convert_transformer_state_dict`.  Lets a reference
+    user bring their trained weights along when switching frameworks.
+    """
+    bb_prefix = "backbone.backbone."
+    bb_sd = {
+        k[len(bb_prefix):]: _np(v) for k, v in sd.items() if k.startswith(bb_prefix)
+    }
+    bb_params, bb_frozen = convert_torch_state_dict(bb_sd, config.backbone)
+    params = convert_transformer_state_dict(sd, config)
+    params["backbone"] = bb_params
+    return params, {"backbone": bb_frozen}
+
+
+def load_reference_checkpoint(path: str, config) -> tuple[dict, dict]:
+    """Read a reference ``model.safetensors`` -> (params, frozen) trees."""
+    from safetensors import safe_open
+
+    with safe_open(path, framework="np") as f:
+        sd = {k: f.get_tensor(k) for k in f.keys()}
+    return convert_detr_state_dict(sd, config)
+
+
+def apply_detr_weights(variables: dict, params: dict, frozen: dict) -> dict:
+    """Graft a converted full-model tree into a DETR variables dict,
+
+    asserting structural/shape agreement with the initialized model and
+    preserving each leaf's dtype (params may be bf16 under
+    ``DETRConfig.dtype``; conversion output is fp32)."""
+    import jax
+
+    def check_and_cast(dst, src):
+        return jax.tree_util.tree_map(
+            lambda d, s: np.asarray(s, d.dtype).reshape(d.shape), dst, src
+        )
+
+    new_vars = dict(variables)
+    new_vars["params"] = check_and_cast(new_vars["params"], params)
+    new_vars["frozen"] = check_and_cast(new_vars["frozen"], frozen)
+    return new_vars
+
+
 def _main(argv) -> int:  # pragma: no cover — needs torchvision
     """Offline dump: python -m detr_tpu.models.convert out.npz [resnet50]."""
     import torchvision.models as tvm

@@ -196,70 +196,12 @@ def load_reference():
 
 def torch_state_to_flax_params(state_dict, config) -> dict:
     """Maps the reference DETR state_dict onto the flax param tree
-    (transformer + heads; the backbone is converted separately by
-    detr_tpu/models/convert.py)."""
-    import numpy as np
+    (transformer + heads) — delegates to the production converter
+    (detr_tpu/models/convert.py::convert_transformer_state_dict) so the
+    goldens certify the same mapping users run for checkpoint migration."""
+    from detr_tpu.models.convert import convert_transformer_state_dict
 
-    def t(name):
-        return np.asarray(state_dict[name].detach().cpu().numpy(), np.float32)
-
-    def dense(prefix):
-        return {"kernel": t(f"{prefix}.weight").T, "bias": t(f"{prefix}.bias")}
-
-    def ln(prefix):
-        return {"scale": t(f"{prefix}.weight"), "bias": t(f"{prefix}.bias")}
-
-    def attention(prefix):
-        return {
-            "query_proj": dense(f"{prefix}.query_proj"),
-            "key_proj": dense(f"{prefix}.key_proj"),
-            "value_proj": dense(f"{prefix}.value_proj"),
-            "output_proj": dense(f"{prefix}.output_proj"),
-        }
-
-    def ffn(prefix):
-        # reference FFN is a Sequential: Linear @0, GELU, Dropout, Linear @3
-        return {"fc1": dense(f"{prefix}.layers.0"), "fc2": dense(f"{prefix}.layers.3")}
-
-    params: dict = {
-        # 1x1 conv (out, in, 1, 1) -> Dense kernel (in, out)
-        "input_proj": {
-            "kernel": t("input_proj.weight")[:, :, 0, 0].T,
-            "bias": t("input_proj.bias"),
-        },
-        "object_query_embedding": t("object_query_embedding.weight"),
-        "class_embedding": dense("class_embedding"),
-        "bbox_embedding": {
-            # reference MLP is a Sequential with GELUs between Linears
-            f"fc{i}": dense(f"bbox_embedding.net.{2 * i}")
-            for i in range(config.box_embedding_mlp_num_layers)
-        },
-    }
-
-    encoder: dict = {"norm": ln("encoder.norm")}
-    for i in range(config.num_encoder_layers):
-        p = f"encoder.layers.{i}"
-        encoder[f"layer{i}"] = {
-            "norm1": ln(f"{p}.norm1"),
-            "norm2": ln(f"{p}.norm2"),
-            "self_attention": attention(f"{p}.self_attention"),
-            "ffn": ffn(f"{p}.ffn"),
-        }
-    params["encoder"] = encoder
-
-    decoder: dict = {"norm": ln("decoder.norm")}
-    for i in range(config.num_decoder_layers):
-        p = f"decoder.layers.{i}"
-        decoder[f"layer{i}"] = {
-            "norm1": ln(f"{p}.norm1"),
-            "norm2": ln(f"{p}.norm2"),
-            "norm3": ln(f"{p}.norm3"),
-            "self_attention": attention(f"{p}.self_attention"),
-            "cross_attention": attention(f"{p}.cross_attention"),
-            "ffn": ffn(f"{p}.ffn"),
-        }
-    params["decoder"] = decoder
-    return params
+    return convert_transformer_state_dict(state_dict, config)
 
 
 def build_torch_frozen_resnet(backbone: str = "resnet50", dilation: bool = False, seed: int = 0):
