@@ -25,6 +25,15 @@ echo "$(date -u +%H:%M:%S) tunnel BACK — collecting checks"
 bash scripts/collect_checks.sh 03 > /tmp/checks_r03.log 2>&1
 echo "$(date -u +%H:%M:%S) checks done (exit $?)"
 
+# Per-op step breakdowns (round-2 verdict weak #1: attribute the R50
+# residual, give DC5 its own table) — bounded like the checks.
+timeout 1500 python scripts/profile_step.py --config r50 --steps 10 --top 40 \
+  > /tmp/profile_r50.txt 2>/tmp/profile_r50.err
+echo "$(date -u +%H:%M:%S) r50 profile done (exit $?)"
+timeout 1500 python scripts/profile_step.py --config dc5 --steps 6 --top 30 \
+  > /tmp/profile_dc5.txt 2>/tmp/profile_dc5.err
+echo "$(date -u +%H:%M:%S) dc5 profile done (exit $?)"
+
 MAX_RESTARTS=40 nohup bash scripts/train_with_retry.sh \
   --coco-dataset-root datasets/synth3k_dense \
   --output-dir runs/proof_r3b \
