@@ -239,6 +239,102 @@ def load_reference_checkpoint(path: str, config) -> tuple[dict, dict]:
     return convert_detr_state_dict(sd, config)
 
 
+def export_detr_state_dict(params: Mapping, frozen: Mapping, config) -> dict:
+    """Inverse of :func:`convert_detr_state_dict`: flax trees -> a
+    reference-format ``state_dict`` of fp32 numpy arrays.
+
+    Produces exactly the key layout the reference saves/loads
+    (detr/model.py module naming; ``backbone.backbone.*`` for the
+    IntermediateLayerGetter-wrapped resnet; frozen-BN statistics as the
+    ``weight/bias/running_mean/running_var`` buffers safetensors
+    serializes) — so a model trained HERE can be handed back to a
+    reference user.  Transitively certified against real torch naming by
+    the import goldens plus the roundtrip test (tests/test_convert_full.py).
+    """
+    sd: dict = {}
+
+    def dense(prefix, tree):
+        sd[f"{prefix}.weight"] = _np(tree["kernel"]).T
+        sd[f"{prefix}.bias"] = _np(tree["bias"])
+
+    def ln(prefix, tree):
+        sd[f"{prefix}.weight"] = _np(tree["scale"])
+        sd[f"{prefix}.bias"] = _np(tree["bias"])
+
+    def attention(prefix, tree):
+        for name in ("query_proj", "key_proj", "value_proj", "output_proj"):
+            dense(f"{prefix}.{name}", tree[name])
+
+    def ffn(prefix, tree):
+        dense(f"{prefix}.layers.0", tree["fc1"])
+        dense(f"{prefix}.layers.3", tree["fc2"])
+
+    # -- transformer + heads (reference detr/model.py:36-48 naming) --
+    k = _np(params["input_proj"]["kernel"])  # Dense (in, out) -> conv OIHW
+    sd["input_proj.weight"] = k.T[:, :, None, None]
+    sd["input_proj.bias"] = _np(params["input_proj"]["bias"])
+    sd["object_query_embedding.weight"] = _np(params["object_query_embedding"])
+    dense("class_embedding", params["class_embedding"])
+    for i in range(config.box_embedding_mlp_num_layers):
+        dense(f"bbox_embedding.net.{2 * i}", params["bbox_embedding"][f"fc{i}"])
+
+    ln("encoder.norm", params["encoder"]["norm"])
+    for i in range(config.num_encoder_layers):
+        layer = params["encoder"][f"layer{i}"]
+        p = f"encoder.layers.{i}"
+        ln(f"{p}.norm1", layer["norm1"])
+        ln(f"{p}.norm2", layer["norm2"])
+        attention(f"{p}.self_attention", layer["self_attention"])
+        ffn(f"{p}.ffn", layer["ffn"])
+
+    ln("decoder.norm", params["decoder"]["norm"])
+    for i in range(config.num_decoder_layers):
+        layer = params["decoder"][f"layer{i}"]
+        p = f"decoder.layers.{i}"
+        ln(f"{p}.norm1", layer["norm1"])
+        ln(f"{p}.norm2", layer["norm2"])
+        ln(f"{p}.norm3", layer["norm3"])
+        attention(f"{p}.self_attention", layer["self_attention"])
+        attention(f"{p}.cross_attention", layer["cross_attention"])
+        ffn(f"{p}.ffn", layer["ffn"])
+
+    # -- backbone (torchvision naming under backbone.backbone.) --
+    bb = "backbone.backbone"
+    bb_params, bb_frozen = params["backbone"], frozen["backbone"]
+
+    def conv(prefix, tree):
+        # flax HWIO -> torch OIHW
+        sd[f"{prefix}.weight"] = np.transpose(_np(tree["kernel"]), (3, 2, 0, 1))
+
+    def bn(prefix, tree):
+        sd[f"{prefix}.weight"] = _np(tree["scale"])
+        sd[f"{prefix}.bias"] = _np(tree["bias"])
+        sd[f"{prefix}.running_mean"] = _np(tree["mean"])
+        sd[f"{prefix}.running_var"] = _np(tree["var"])
+
+    conv(f"{bb}.conv1", bb_params["conv1"])
+    bn(f"{bb}.bn1", bb_frozen["bn1"])
+    for stage, n in enumerate(_STAGES[config.backbone], start=1):
+        for b in range(n):
+            name = f"layer{stage}_block{b}"
+            tprefix = f"{bb}.layer{stage}.{b}"
+            for ci in (1, 2, 3):
+                conv(f"{tprefix}.conv{ci}", bb_params[name][f"conv{ci}"])
+                bn(f"{tprefix}.bn{ci}", bb_frozen[name][f"bn{ci}"])
+            if "downsample_conv" in bb_params[name]:
+                conv(f"{tprefix}.downsample.0", bb_params[name]["downsample_conv"])
+                bn(f"{tprefix}.downsample.1", bb_frozen[name]["downsample_bn"])
+    return sd
+
+
+def save_reference_checkpoint(path: str, params: Mapping, frozen: Mapping, config) -> None:
+    """Write flax variables as a reference-loadable ``model.safetensors``
+    (the weights-only resume format, reference detr/train.py:224)."""
+    from safetensors.numpy import save_file
+
+    save_file(export_detr_state_dict(params, frozen, config), path)
+
+
 def apply_detr_weights(variables: dict, params: dict, frozen: dict) -> dict:
     """Graft a converted full-model tree into a DETR variables dict,
 

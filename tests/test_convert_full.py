@@ -34,6 +34,7 @@ from torch_reference import build_torch_frozen_resnet, load_reference  # noqa: E
 from detr_tpu.config import DETRConfig  # noqa: E402
 from detr_tpu.models.convert import (  # noqa: E402
     apply_detr_weights,
+    export_detr_state_dict,
     load_reference_checkpoint,
 )
 from detr_tpu.models.detr import DETR  # noqa: E402
@@ -119,4 +120,14 @@ def test_full_checkpoint_roundtrip(tmp_path, monkeypatch):
         rtol=1e-3,
         atol=1e-4,
     )
+
+    # Reverse direction: exporting the just-imported variables must give
+    # back the original checkpoint bit-for-bit (every key, exact layout) —
+    # certifying export_detr_state_dict as the exact inverse on a real
+    # reference state_dict, so models trained here load in the reference.
+    exported = export_detr_state_dict(params, frozen, cfg)
+    ref_sd = {k: v.numpy() for k, v in ref.state_dict().items()}
+    assert set(exported) == set(ref_sd)
+    for k, v in ref_sd.items():
+        np.testing.assert_array_equal(exported[k], v, err_msg=k)
 
