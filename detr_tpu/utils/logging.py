@@ -51,8 +51,15 @@ class MetricLogger:
         self.writer = None
         if log_dir is not None:
             try:
+                import logging as _logging
+
                 from tensorboardX import SummaryWriter
 
+                # tensorboardX INFO-logs a "Summary name ... is illegal"
+                # line for EVERY scalar whose tag it sanitizes; the
+                # reference's panel taxonomy (spaces, parens) triggers ~40
+                # of them per log step — pure log bloat on a 1-core host.
+                _logging.getLogger("tensorboardX").setLevel(_logging.WARNING)
                 self.writer = SummaryWriter(log_dir)
             except Exception:
                 self.writer = None

@@ -66,17 +66,8 @@ def harvest(logdir: str) -> dict[str, list[tuple[int, float]]]:
     return {t: sorted(d.items()) for t, d in series.items()}
 
 
-def main() -> int:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("logdir")
-    ap.add_argument("--json", default=None, help="also dump raw curves here")
-    args = ap.parse_args()
-
-    series = harvest(args.logdir)
-    if not series:
-        print(f"no scalar events under {args.logdir}", file=sys.stderr)
-        return 1
-
+def make_table(series: dict[str, list[tuple[int, float]]]) -> str:
+    """Render the learning-proof markdown table from harvested curves."""
     # step -> epoch map (the trainer logs the epoch scalar alongside loss).
     epoch_at = dict(series.get(EPOCH_TAG, []))
 
@@ -88,19 +79,63 @@ def main() -> int:
         return best
 
     train_loss = dict(series.get(TRAIN_LOSS_TAG, []))
-
-    print(f"# tags: {sorted(series)}\n")
-    print("| epoch | train loss (at eval step) | val loss | AP | AP50 |")
-    print("|---|---|---|---|---|")
     val_loss = dict(series.get(VAL_LOSS_TAG, []))
     ap50 = dict(series.get(AP50_TAG, []))
+    rows = [
+        "| epoch | train loss (at eval step) | val loss | AP | AP50 |",
+        "|---|---|---|---|---|",
+    ]
     for step, ap_v in series.get(AP_TAG, []):
         tl = [v for s, v in sorted(train_loss.items()) if s <= step]
-        print(
-            f"| {epoch_for(step)} | {tl[-1]:.2f} |" if tl else f"| {epoch_for(step)} | — |",
-            f"{val_loss.get(step, float('nan')):.2f} |",
-            f"{ap_v:.3f} | {ap50.get(step, float('nan')):.3f} |",
+        rows.append(
+            (f"| {epoch_for(step)} | {tl[-1]:.2f} " if tl else f"| {epoch_for(step)} | — ")
+            + f"| {val_loss.get(step, float('nan')):.2f} "
+            + f"| {ap_v:.3f} | {ap50.get(step, float('nan')):.3f} |"
         )
+    return "\n".join(rows)
+
+
+def splice_parity(path: str, key: str, table: str) -> bool:
+    """Replace the block between `<!-- HARVEST:key -->` markers in `path`
+    with `table`.  Returns True when the file content changed."""
+    begin, end = f"<!-- HARVEST:{key} -->", f"<!-- /HARVEST:{key} -->"
+    text = open(path).read()
+    i, j = text.find(begin), text.find(end)
+    if i < 0 or j < 0 or j < i:
+        raise SystemExit(f"markers {begin!r}/{end!r} not found in {path}")
+    new = text[: i + len(begin)] + "\n" + table + "\n" + text[j:]
+    if new == text:
+        return False
+    with open(path, "w") as f:
+        f.write(new)
+    return True
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("logdir")
+    ap.add_argument("--json", default=None, help="also dump raw curves here")
+    ap.add_argument(
+        "--parity",
+        default=None,
+        metavar="FILE",
+        help="splice the table between the <!-- HARVEST:<key> --> markers",
+    )
+    ap.add_argument("--key", default="proof_r3b", help="marker key for --parity")
+    args = ap.parse_args()
+
+    series = harvest(args.logdir)
+    if not series:
+        print(f"no scalar events under {args.logdir}", file=sys.stderr)
+        return 1
+
+    table = make_table(series)
+    print(f"# tags: {sorted(series)}\n")
+    print(table)
+
+    if args.parity:
+        changed = splice_parity(args.parity, args.key, table)
+        print(f"\n{args.parity}: {'updated' if changed else 'unchanged'}", file=sys.stderr)
 
     if args.json:
         with open(args.json, "w") as f:
