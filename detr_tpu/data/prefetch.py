@@ -63,10 +63,15 @@ def prefetch_to_device(
                     return
             q.put(_SENTINEL)
         except BaseException as e:  # surface loader errors at the consumer
-            try:
-                q.put(e, timeout=5)
-            except queue.Full:
-                pass
+            # Retry like the normal path: a consumer stalled >5s (e.g. mid-
+            # checkpoint) must still receive the exception, else its next()
+            # blocks forever on an empty queue.
+            while not stop.is_set():
+                try:
+                    q.put(e, timeout=0.1)
+                    return
+                except queue.Full:
+                    continue
 
     t = threading.Thread(target=producer, daemon=True, name="device-prefetch")
     t.start()
