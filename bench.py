@@ -559,12 +559,19 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    if "--check" in sys.argv:
-        check_matcher_parity()
-        check_attention_parity()
-    elif "--e2e" in sys.argv:
-        main_e2e()
-    elif "--eval-scale" in sys.argv:
-        main_eval_scale()
-    else:
-        main()
+    from detr_tpu.utils.chip_pause import request_chip_pause
+
+    # Ask any concurrently-running trainer to yield the (single) chip for
+    # the duration of the benchmark — see utils/chip_pause.py.  The trainer
+    # drains its in-flight dispatch and idles; measured numbers are the
+    # device's, not an interleaved mix.
+    with request_chip_pause():
+        if "--check" in sys.argv:
+            check_matcher_parity()
+            check_attention_parity()
+        elif "--e2e" in sys.argv:
+            main_e2e()
+        elif "--eval-scale" in sys.argv:
+            main_eval_scale()
+        else:
+            main()

@@ -61,6 +61,7 @@ from detr_tpu.train.train_step import (
     make_eval_step,
     make_train_step,
 )
+from detr_tpu.utils.chip_pause import pause_requested, wait_while_paused
 from detr_tpu.utils.logging import MetricLogger
 from detr_tpu.utils.profiling import StepTimer
 from detr_tpu.utils.watchdog import Watchdog
@@ -278,6 +279,14 @@ def train_DETR(
             if config.limit_train_iters > 0 and step_i >= config.limit_train_iters:
                 batch_iter.close()  # stop the prefetch thread promptly
                 break
+            if pause_requested():
+                # A benchmark asked for the chip (utils/chip_pause.py —
+                # e.g. the driver's round-end bench.py): drain our
+                # in-flight dispatch, then idle until it's done.
+                if pending_loss is not None:
+                    float(pending_loss)
+                waited = wait_while_paused(watchdog)
+                logger.info("chip pause honored for %.0fs", waited)
             state, metrics = train_step(state, batch)
             # Bound dispatch run-ahead: materialize step i-1's loss while
             # step i executes (config.dispatch_sync_steps).  Through the
@@ -429,6 +438,10 @@ def run_validation(
     for step_i, batch in enumerate(val_loader):
         if limit_val_iters > 0 and step_i >= limit_val_iters:
             break
+        if pause_requested():
+            # Benchmark chip arbitration (utils/chip_pause.py); eval
+            # materializes every batch so nothing is left in flight here.
+            wait_while_paused(watchdog)
         pad = int(batch.get("pad_count", 0))
         if mesh is not None:
             # Pad the eval batch up to a mesh multiple (repeating the last
@@ -573,6 +586,13 @@ def get_args() -> argparse.Namespace:
         action="store_true",
         help="tiny model + 64x64 buckets (CI/CPU smoke runs)",
     )
+    parser.add_argument(
+        "--cpu",
+        action="store_true",
+        help="force the CPU backend (the axon sitecustomize re-selects the "
+        "TPU platform at jax-config level, so JAX_PLATFORMS=cpu alone is "
+        "not honored)",
+    )
     return parser.parse_args()
 
 
@@ -589,6 +609,8 @@ def main() -> int:
     )
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     args = get_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     config = TrainingConfig(
         output_dir=args.output_dir,
         coco_dataset_root=args.coco_dataset_root,

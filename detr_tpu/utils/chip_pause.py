@@ -1,0 +1,79 @@
+"""Cooperative single-chip arbitration between the trainer and benchmarks.
+
+This host drives ONE real TPU chip through a serializing relay.  A
+benchmark that runs while a training loop keeps dispatching steps measures
+an interleaved mix, not the device (the round-end ``bench.py`` is executed
+by the build driver whenever the round closes — possibly mid-training-run).
+
+Protocol (no signals, no IPC daemon — just a flag file):
+
+  * the benchmark touches :data:`PAUSE_FILE` on entry and removes it on
+    exit (``request_chip_pause`` context manager);
+  * the trainer polls the file once per step (one ``stat``, ~1 us against
+    a ~0.7 s step); when present and FRESH it materializes its in-flight
+    dispatch, then idles — beating its watchdog — until the file is gone.
+
+Freshness (mtime within :data:`FRESH_SECS`) makes a crashed benchmark's
+leftover file self-expire instead of stalling training forever.
+
+The reference has no analog: its benchmark story is a tqdm rate on a
+dedicated GPU (reference detr/train.py:247-253).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import os
+import time
+from typing import Iterator, Optional
+
+#: Flag-file path shared by every process on the host (env-overridable so
+#: tests and multi-tenant hosts can isolate).
+PAUSE_FILE = os.environ.get("DETR_CHIP_PAUSE_FILE", "/tmp/detr_chip_pause")
+
+#: A pause file older than this is ignored (benchmark died mid-run).
+FRESH_SECS = 3600.0
+
+
+def pause_requested(path: Optional[str] = None) -> bool:
+    """True when a fresh pause file exists."""
+    path = path or PAUSE_FILE
+    try:
+        age = time.time() - os.stat(path).st_mtime
+    except OSError:
+        return False
+    return 0 <= age <= FRESH_SECS or age < 0  # future mtime: honor anyway
+
+
+def wait_while_paused(
+    watchdog=None, poll_secs: float = 2.0, path: Optional[str] = None
+) -> float:
+    """Blocks while a fresh pause file exists; returns seconds waited.
+
+    ``watchdog.beat()`` is called every poll so the pause never trips the
+    dispatch watchdog (utils/watchdog.py).
+    """
+    t0 = time.monotonic()
+    while pause_requested(path):
+        if watchdog is not None:
+            watchdog.beat()
+        time.sleep(poll_secs)
+    return time.monotonic() - t0
+
+
+@contextlib.contextmanager
+def request_chip_pause(path: Optional[str] = None) -> Iterator[None]:
+    """Holds the pause file for the duration of the block (benchmark side)."""
+    path = path or PAUSE_FILE
+    try:
+        with open(path, "w") as f:
+            f.write(str(os.getpid()))
+    except OSError:
+        pass  # unwritable path: degrade to no arbitration
+    try:
+        yield
+    finally:
+        try:
+            os.unlink(path)
+        except OSError:
+            pass

@@ -154,4 +154,7 @@ def main() -> int:
 
 
 if __name__ == "__main__":
-    raise SystemExit(main())
+    from detr_tpu.utils.chip_pause import request_chip_pause
+
+    with request_chip_pause():  # single-chip arbitration vs a live trainer
+        raise SystemExit(main())

@@ -1,0 +1,58 @@
+"""Chip-pause arbitration (utils/chip_pause.py): a benchmark's pause file
+makes the trainer idle (beating its watchdog) and a stale file self-expires."""
+
+import os
+import threading
+import time
+
+from detr_tpu.utils import chip_pause as cp
+
+
+def test_request_and_release(tmp_path):
+    path = str(tmp_path / "pause")
+    assert not cp.pause_requested(path)
+    with cp.request_chip_pause(path):
+        assert cp.pause_requested(path)
+        assert open(path).read() == str(os.getpid())
+    assert not cp.pause_requested(path)
+    assert not os.path.exists(path)
+
+
+def test_stale_file_ignored(tmp_path):
+    path = str(tmp_path / "pause")
+    with open(path, "w") as f:
+        f.write("dead-bench")
+    old = time.time() - cp.FRESH_SECS - 10
+    os.utime(path, (old, old))
+    assert not cp.pause_requested(path)
+
+
+class _Dog:
+    def __init__(self):
+        self.beats = 0
+
+    def beat(self):
+        self.beats += 1
+
+
+def test_wait_while_paused_blocks_then_returns(tmp_path):
+    path = str(tmp_path / "pause")
+    with open(path, "w") as f:
+        f.write("bench")
+    dog = _Dog()
+
+    def release():
+        time.sleep(0.5)
+        os.unlink(path)
+
+    t = threading.Thread(target=release)
+    t.start()
+    waited = cp.wait_while_paused(dog, poll_secs=0.05, path=path)
+    t.join()
+    assert waited >= 0.4
+    assert dog.beats >= 5  # watchdog kept alive throughout the pause
+
+
+def test_wait_no_pause_is_instant(tmp_path):
+    waited = cp.wait_while_paused(None, poll_secs=0.05, path=str(tmp_path / "x"))
+    assert waited < 0.05
