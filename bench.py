@@ -501,12 +501,26 @@ def main() -> None:
     # per-dispatch latency (measured by fitting t(K) = X + K*c over
     # K in {10, 30, 60}); K = 50 amortizes it to <2% so the figure reports
     # steady-state device throughput, not tunnel overhead.
-    K = 50
+    # BENCH_K env overrides for CPU smoke validation of the loop semantics.
+    K = int(os.environ.get("BENCH_K", "50"))
 
     @jax.jit
     def run(s, b):
         def body(i, carry):
-            s, _ = carry
+            s, prev = carry
+            if cfg == "eval640":
+                # The eval step leaves `s` untouched, so without a loop-
+                # carried dependence every iteration is identical and XLA
+                # may legally collapse the K-step loop into one evaluation
+                # (inflating img/s ~Kx).  Feeding the previous loss into
+                # the image (at 1e-12, ~1 ulp of bf16 noise) forces true
+                # sequential execution; the train path is inherently
+                # sequential through the optimizer state.
+                bb = dict(b)
+                bb["image"] = (
+                    b["image"] + (prev * 1e-12).astype(b["image"].dtype)
+                )
+                return one_step(s, bb)
             return one_step(s, b)
         return jax.lax.fori_loop(0, K, body, (s, jnp.float32(0)))
 
@@ -559,6 +573,14 @@ def main() -> None:
 
 
 if __name__ == "__main__":
+    if "--cpu" in sys.argv:
+        # Loop-semantics / smoke validation off-chip (the axon sitecustomize
+        # re-selects the TPU platform at jax-config level, so the
+        # JAX_PLATFORMS env var alone is not honored).  Pair with BENCH_K=2.
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
     from detr_tpu.utils.chip_pause import request_chip_pause
 
     # Ask any concurrently-running trainer to yield the (single) chip for
