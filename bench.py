@@ -397,6 +397,81 @@ def main_eval_scale() -> None:
     )
 
 
+def main_serve() -> None:
+    """--serve mode: InferenceEngine latency/throughput (serve/engine.py).
+
+    The engine is the deployment surface (the reference's analog is a dev
+    notebook, reference notebooks/dev-model.ipynb); this measures what a
+    request router would see: batch-1 request latency percentiles (val
+    transform + bucket fit + fused device predict + host decode) over
+    mixed COCO-like image sizes, and batch-N throughput.  Random-init
+    weights — latency does not depend on the values.
+    """
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from detr_tpu.config import DETRConfig
+    from detr_tpu.serve import InferenceEngine
+
+    batch_size = 8
+    engine = InferenceEngine(
+        DETRConfig(dtype="bfloat16"),
+        class_names=[f"c{i}" for i in range(80)],
+        batch_size=batch_size,
+        score_threshold=0.5,
+    )
+    engine.warmup()  # compile every bucket program off the clock
+
+    rng = np.random.default_rng(3)
+    sizes = [(480, 640), (640, 480), (800, 1067), (1067, 800), (800, 800)]
+
+    def make_img(i):
+        h, w = sizes[i % len(sizes)]
+        return rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+
+    n_req = int(os.environ.get("BENCH_SERVE_REQS", "40"))
+    lat = []
+    for i in range(n_req):
+        img = make_img(i)
+        t0 = time.perf_counter()
+        engine.predict([img])
+        lat.append(time.perf_counter() - t0)
+    lat_ms = np.sort(np.array(lat)) * 1e3
+
+    batches = [[make_img(i * batch_size + j) for j in range(batch_size)]
+               for i in range(max(2, n_req // batch_size))]
+    t0 = time.perf_counter()
+    for imgs in batches:
+        engine.predict(imgs)
+    dt = time.perf_counter() - t0
+    thru = len(batches) * batch_size / dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "serve_latency_ms_batch1",
+                "value": round(float(np.median(lat_ms)), 1),
+                "unit": "ms (p50; p99 in extras)",
+                "vs_baseline": 1.0,
+                "p99_ms": round(float(lat_ms[int(0.99 * (len(lat_ms) - 1))]), 1),
+                "requests": n_req,
+            }
+        )
+    )
+    print(
+        json.dumps(
+            {
+                "metric": f"serve_images_per_sec_batch{batch_size}",
+                "value": round(thru, 2),
+                "unit": "img/s",
+                "vs_baseline": 1.0,
+            }
+        )
+    )
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -595,5 +670,7 @@ if __name__ == "__main__":
             main_e2e()
         elif "--eval-scale" in sys.argv:
             main_eval_scale()
+        elif "--serve" in sys.argv:
+            main_serve()
         else:
             main()

@@ -33,5 +33,6 @@ run r101_mfu             --config r101 --mfu
 run eval640              --config eval640
 run e2e_sustained        --e2e
 run eval_scale_5k        --eval-scale
+run serve_latency        --serve
 
 cat "$OUT"

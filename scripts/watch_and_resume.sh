@@ -42,3 +42,11 @@ MAX_RESTARTS=40 nohup bash scripts/train_with_retry.sh \
   >> runs/proof_r3b.log 2>&1 &
 echo $! > /tmp/proof.pid
 echo "$(date -u +%H:%M:%S) proof run relaunched, pid $(cat /tmp/proof.pid)"
+
+# Keep the PARITY learning-proof table auto-refreshing alongside the run
+# (the harvest loop dies with builder sessions; respawn it here so the AP
+# curve gets recorded even if no session is alive).
+if ! pgrep -x -f "bash scripts/harvest_loop.sh" >/dev/null 2>&1; then
+  nohup bash scripts/harvest_loop.sh > /tmp/harvest_loop.log 2>&1 &
+  echo "$(date -u +%H:%M:%S) harvest loop respawned, pid $!"
+fi
