@@ -636,7 +636,7 @@ def main() -> None:
         print(
             json.dumps(
                 {
-                    "metric": f"train_step_mfu{suffix}",
+                    "metric": f"{stem}_step_mfu{suffix}",
                     "value": round(achieved_tflops / peak, 4) if peak else None,
                     "unit": f"fraction_of_{kind}_bf16_peak",
                     "vs_baseline": 1.0,

@@ -294,11 +294,40 @@ class BucketedLoader:
                     raise payload
                 yield payload
 
+    def _batch_quota(self) -> Optional[int]:
+        """Exact per-epoch batch count in sharded (multi-process) mode.
+
+        Every process's batches feed a COLLECTIVE train step over the
+        global mesh, so all processes must emit the same number of batches
+        per epoch or the odd one out hangs at the gradient psum.  Bucket
+        composition after random augmentation is data-dependent per shard,
+        so the counts can't be equalized by construction; instead every
+        process stops at the guaranteed lower bound: a shard of n items
+        split across k buckets strands fewer than batch_size items per
+        bucket, i.e. emits at least floor(n/B) - (k-1) full batches, and
+        the smallest strided shard has floor(N/count) items.
+        """
+        _, count = self.shard
+        if count <= 1 or not self.drop_last:
+            return None
+        n_min = len(self.dataset) // count
+        return max(0, n_min // self.batch_size - (len(self.buckets) - 1))
+
     def __iter__(self) -> Iterator[dict[str, np.ndarray]]:
         indices = self._indices()
         self.epoch += 1
+        quota = self._batch_quota()
+        emitted = 0
         pools: dict[int, list] = {i: [] for i in range(len(self.buckets))}
-        for bucket_id, item in self._item_stream(indices):
+        stream = self._item_stream(indices)
+        for bucket_id, item in stream:
+            if quota is not None and emitted >= quota:
+                # Quota reached: drain the worker stream (bounded — at most
+                # ~k*batch_size stranded items) so threads/pool tasks finish
+                # cleanly, then stop without assembling further batches.
+                for _ in stream:
+                    pass
+                return
             pools[bucket_id].append(item)
             if len(pools[bucket_id]) == self.batch_size:
                 batch = assemble_batch(
@@ -311,6 +340,17 @@ class BucketedLoader:
                 batch["image_valid"] = np.ones(self.batch_size, bool)
                 pools[bucket_id] = []
                 yield batch
+                emitted += 1
+        if quota is not None:
+            # The lower-bound argument guarantees the stream covers the
+            # quota; a shortfall means the invariant was violated (e.g. an
+            # item routed outside self.buckets) — fail loudly rather than
+            # desync the collective.
+            if emitted < quota:
+                raise RuntimeError(
+                    f"sharded loader emitted {emitted} < quota {quota} batches"
+                )
+            return
         if not self.drop_last:
             for bucket_id, items in pools.items():
                 if not items:

@@ -24,6 +24,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import zlib
 
 import numpy as np
 from PIL import Image
@@ -109,7 +110,9 @@ def generate_split(
     data_dir = os.path.join(root, split, "data")
     os.makedirs(data_dir, exist_ok=True)
     pal = class_palette_uint8(num_classes)
-    rng = np.random.default_rng([seed, hash(split) & 0x7FFFFFFF])
+    # crc32, not hash(): str.__hash__ is salted per interpreter, which would
+    # make the "same --seed" dataset differ on every invocation.
+    rng = np.random.default_rng([seed, zlib.crc32(split.encode())])
 
     images, annotations = [], []
     ann_id = 1

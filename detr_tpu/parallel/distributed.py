@@ -26,9 +26,13 @@ Launch (one command per host, standard TPU-VM environment):
     JAX_COORDINATOR=host0:8476 JAX_NUM_PROCESSES=4 JAX_PROCESS_ID=$i \
         python -m detr_tpu.train.trainer --coco-dataset-root ...
 
-On actual Cloud TPU VMs the three variables can be omitted —
-``jax.distributed.initialize()`` autodetects them from the TPU metadata
-server; the env vars exist for CPU tests and non-TPU clusters.
+On actual Cloud TPU VMs the three variables can be omitted — a multi-host
+slice is recognized from the TPU runtime's own topology env
+(``TPU_WORKER_HOSTNAMES`` listing >1 host) and
+``jax.distributed.initialize()`` then autodetects coordinator/process-id
+from the TPU metadata server.  ``JAX_DISTRIBUTED=1`` forces the
+autodetect attempt on other managed clusters (SLURM/MPI); the three
+explicit env vars remain for CPU tests and hand-wired clusters.
 """
 
 from __future__ import annotations
@@ -69,13 +73,23 @@ def initialize_distributed(
         process_id = int(os.environ["JAX_PROCESS_ID"])
 
     if coordinator_address is None and num_processes is None:
-        return False  # single-process mode, nothing to do
-
-    jax.distributed.initialize(
-        coordinator_address=coordinator_address,
-        num_processes=num_processes,
-        process_id=process_id,
-    )
+        # Cloud-TPU autodetection path: on a managed multi-host slice the
+        # TPU runtime exports the worker topology (TPU_WORKER_HOSTNAMES
+        # lists every host); jax.distributed.initialize() with no args
+        # reads the metadata server.  JAX_DISTRIBUTED=1 forces the
+        # autodetect attempt on clusters that configure jax.distributed
+        # through other means (SLURM, MPI — jax probes those too).  A
+        # plain single-host run matches neither and skips initialization.
+        worker_hosts = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+        if os.environ.get("JAX_DISTRIBUTED") != "1" and "," not in worker_hosts:
+            return False  # single-process mode, nothing to do
+        jax.distributed.initialize()
+    else:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
     _INITIALIZED = True
     logger.info(
         "distributed: process %d/%d, %d local / %d global devices",

@@ -288,6 +288,11 @@ def train_DETR(
                 waited = wait_while_paused(watchdog)
                 logger.info("chip pause honored for %.0fs", waited)
             state, metrics = train_step(state, batch)
+            # Host-loop liveness beat: valid even with dispatch_sync_steps=0
+            # (run-ahead unbounded) because a wedged dispatch still blocks
+            # the host at the next materialization point (the sync branch
+            # below or the log-step float()), stopping the beats.
+            watchdog.beat()
             # Bound dispatch run-ahead: materialize step i-1's loss while
             # step i executes (config.dispatch_sync_steps).  Through the
             # relay, float() is what forces execution — block_until_ready
@@ -328,9 +333,12 @@ def train_DETR(
                 )
             global_step += 1
 
-        if epoch % config.checkpoint_epochs == 0 and is_primary():
-            # State is fully replicated, so process 0's copy is the whole
-            # checkpoint; non-primary writes to the same path would race.
+        if epoch % config.checkpoint_epochs == 0:
+            # EVERY process calls save: orbax is multihost-aware (internal
+            # cross-process barriers; the primary writes the replicated
+            # tree).  Gating on is_primary() would leave process 0 blocked
+            # at orbax's sync barrier forever.  Multi-host runs assume the
+            # usual shared checkpoint filesystem (GCS/NFS).
             ckpt.save(epoch, jax.device_get(state), extra={"epoch": epoch})
             watchdog.beat()
 

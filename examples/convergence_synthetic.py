@@ -16,7 +16,7 @@ TPU-native detail: steps are CHAINED inside one jitted ``lax.fori_loop``
 dispatch (the axon relay costs ~44 ms per dispatch; per-step host driving
 would dominate).
 
-Usage:  python examples/convergence_synthetic.py [--steps 6000]
+Usage:  python -m examples.convergence_synthetic [--steps 6000]
 Prints loss every eval interval and AP at the end; exits nonzero if AP50
 fails the bar (so it can serve as a long-running acceptance test).
 """

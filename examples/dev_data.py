@@ -5,8 +5,8 @@ images through each augmentation stage and the bucketed collate, dumping
 annotated PNGs and printing batch shapes.
 
 Usage:
-  python examples/dev_data.py --coco-root datasets/coco-2017 [--out /tmp/dev_data]
-  python examples/dev_data.py --synthetic                      # no dataset
+  python -m examples.dev_data --coco-root datasets/coco-2017 [--out /tmp/dev_data]
+  python -m examples.dev_data --synthetic                      # no dataset
 """
 
 from __future__ import annotations

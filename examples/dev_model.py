@@ -6,7 +6,7 @@ through forward + matcher + criterion + post-processing + metrics, and write
 detection grids to PNG.
 
 Usage:
-  python examples/dev_model.py [--checkpoint runs/detr] [--out /tmp/dev_model]
+  python -m examples.dev_model [--checkpoint runs/detr] [--out /tmp/dev_model]
 """
 
 from __future__ import annotations

@@ -8,7 +8,7 @@ bucketed fixed-shape inference, then ``detr_tpu.viz.plot_grid`` for the
 rendered grid.
 
 Usage:
-  python examples/visualize_results.py [--checkpoint runs/detr] \
+  python -m examples.visualize_results [--checkpoint runs/detr] \
       [--images img1.jpg img2.jpg ...] [--out /tmp/viz_results]
 
 Without ``--images`` it renders synthetic COCO-like images (random init

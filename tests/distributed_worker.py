@@ -103,5 +103,55 @@ def main() -> int:
     return 0
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and not (len(sys.argv) > 3 and sys.argv[3] == "trainer"):
     raise SystemExit(main())
+
+
+def main_trainer() -> int:
+    """End-to-end ``train_DETR`` under the 2-process runtime: sharded
+    BucketedLoader (equal-batch-count quota), collective orbax checkpoint
+    saves, and multi-process run_validation.  A regression for the two
+    deadlock classes of multi-host training — batch-count skew at the
+    gradient psum and primary-only orbax barriers."""
+    port, process_id = int(sys.argv[1]), int(sys.argv[2])
+    root, outdir = sys.argv[4], sys.argv[5]
+    multi = initialize_distributed(f"localhost:{port}", 2, process_id)
+    assert multi and jax.device_count() == 8
+
+    from detr_tpu.train.trainer import train_DETR
+
+    detr_config = DETRConfig(**TINY)
+    config = TrainingConfig(
+        coco_dataset_root=root,
+        output_dir=outdir,
+        train_batch_size=4,          # per process; global batch 8
+        cumulative_train_batch_size=4,  # accumulation 1
+        val_batch_size=8,
+        epochs=2,
+        eval_epochs=1,
+        checkpoint_epochs=1,
+        num_workers=0,
+        shape_buckets=((64, 64),),
+        eval_shape=(64, 64),
+        max_gt_boxes=8,
+        mixed_precision="no",
+        watchdog_secs=0.0,
+        log_frequency=1,
+        save_image_epochs=1000,  # grids are host-side noise here
+    )
+    metrics = train_DETR(config, detr_config)
+    print(
+        json.dumps(
+            {
+                "process": process_id,
+                "done": True,
+                "ap": float(metrics.get("AP", -1.0)) if metrics else None,
+            }
+        ),
+        flush=True,
+    )
+    return 0
+
+
+if __name__ == "__main__" and len(sys.argv) > 3 and sys.argv[3] == "trainer":
+    raise SystemExit(main_trainer())

@@ -324,3 +324,56 @@ def test_deferred_normalize_matches_eager(coco_root):
         pad_region = a["image"][0, h:, w:]
         if pad_region.size:
             np.testing.assert_array_equal(pad_region, 0.0)
+
+
+class _VarShapeDS:
+    """Module-level (picklable) dataset with index-dependent aspect ratios —
+    shards develop different bucket compositions, the failure mode of
+    naive per-shard drop_last batching."""
+
+    def __init__(self, n: int):
+        self.n = n
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        rng = np.random.default_rng(i)
+        h = int(rng.integers(200, 900))
+        w = int(rng.integers(200, 900))
+        img = np.full((h, w, 3), i % 255, np.uint8)
+        t = {
+            "image_id": i,
+            "boxes": np.asarray([[10.0, 10.0, 50.0, 40.0]], np.float32),
+            "class_idx": np.zeros(1, np.int64),
+            "class_id": np.ones(1, np.int64),
+            "iscrowd": np.zeros(1, bool),
+        }
+        return img, t
+
+
+def test_sharded_loader_equal_batch_counts():
+    """Multi-process shards must emit IDENTICAL batch counts per epoch —
+    every batch feeds a collective train step over the global mesh, so a
+    count mismatch hangs the odd process at the gradient psum.  The loader
+    guarantees this by capping every shard at the deterministic lower
+    bound (see BucketedLoader._batch_quota)."""
+    from detr_tpu.data.loader import BucketedLoader
+
+    buckets = ((832, 1344), (1344, 832), (1056, 1056))
+    n, count, bs = 101, 4, 4  # uneven shards, odd sizes
+    kw = dict(
+        batch_size=bs, buckets=buckets, max_gt=4, shuffle=True,
+        drop_last=True, num_workers=0, seed=3,
+    )
+    counts = []
+    for index in range(count):
+        loader = BucketedLoader(_VarShapeDS(n), shard=(index, count), **kw)
+        batches = list(loader)
+        counts.append(len(batches))
+        assert all(b["image_valid"].all() for b in batches)
+    expected = (n // count) // bs - (len(buckets) - 1)
+    assert counts == [expected] * count
+    # single-process mode is uncapped (emits every full bucket batch)
+    solo = list(BucketedLoader(_VarShapeDS(n), shard=(0, 1), **kw))
+    assert len(solo) >= expected

@@ -88,3 +88,45 @@ def test_two_process_train_step_matches_single_process():
     np.testing.assert_allclose(
         outs[0]["grad_norm"], float(metrics["grad_norm"]), rtol=1e-4
     )
+
+
+def test_two_process_full_trainer(tmp_path):
+    """train_DETR end-to-end under a real 2-process runtime: sharded
+    loader (equal-batch-count quota), collective orbax saves, multi-process
+    run_validation.  Regression for the multi-host deadlock classes —
+    batch-count skew at the gradient psum and primary-only orbax barriers
+    (both would show up here as a worker timeout)."""
+    from detr_tpu.data.make_synthetic_coco import generate_split
+
+    root = str(tmp_path / "coco")
+    generate_split(root, "train", 40, seed=11, boxes_per_image=(1, 5))
+    generate_split(root, "validation", 8, seed=11, boxes_per_image=(1, 5))
+    outdir = str(tmp_path / "run")
+
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env.pop("JAX_PLATFORMS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.join(REPO, "tests", "distributed_worker.py"),
+             str(port), str(i), "trainer", root, outdir],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            env=env,
+            cwd=REPO,
+            text=True,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=1200)
+        assert p.returncode == 0, f"worker failed:\n{out}\n{err[-4000:]}"
+        outs.append(json.loads(out.strip().splitlines()[-1]))
+    assert all(o["done"] for o in outs)
+    # primary computed real metrics; non-primary returns {}
+    assert outs[0]["ap"] is not None and outs[0]["ap"] >= 0.0
+    # both epochs checkpointed (collective save completed twice)
+    ckpts = os.listdir(os.path.join(outdir, "checkpoints"))
+    assert {"0", "1"} <= set(ckpts), ckpts

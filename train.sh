@@ -19,8 +19,13 @@ python -m detr_tpu.train.trainer \
 # python -m detr_tpu.train.trainer --resume-from-checkpoint "$OUTPUT_DIR" --start-epoch 50 --epochs 100
 
 # Multi-host (pod slice): run the SAME command on every host. On Cloud TPU
-# VMs jax.distributed autodetects coordinator/process-id from the metadata
-# server; elsewhere set the trio explicitly (parallel/distributed.py):
+# VMs the slice is recognized from TPU_WORKER_HOSTNAMES and
+# jax.distributed autodetects coordinator/process-id from the metadata
+# server (JAX_DISTRIBUTED=1 forces the attempt on SLURM/MPI clusters);
+# elsewhere set the trio explicitly (parallel/distributed.py):
 #   JAX_COORDINATOR=host0:8476 JAX_NUM_PROCESSES=4 JAX_PROCESS_ID=$i ./train.sh
-# Each process loads a disjoint dataset shard; --train-batch-size is PER
-# PROCESS; checkpoints/tensorboard/mAP are written by process 0 only.
+# Each process loads a disjoint dataset shard (equal per-epoch batch
+# counts are guaranteed — data/loader.py quota); --train-batch-size is PER
+# PROCESS. Every process participates in the (collective) orbax
+# checkpoint save against a SHARED filesystem; tensorboard/mAP/grids are
+# process-0 work.
