@@ -656,6 +656,40 @@ if __name__ == "__main__":
 
         jax.config.update("jax_platforms", "cpu")
 
+    # Bounded-run guard: the remote-TPU transport can wedge mid-dispatch
+    # (see utils/watchdog.py); a hung benchmark would stall the round-end
+    # driver forever AND leave no artifact.  On expiry, release the chip
+    # pause flag, print a machine-readable failure line, and hard-exit.
+    import threading
+
+    _WD_SECS = float(os.environ.get("BENCH_WATCHDOG_SECS", "3000"))
+    if _WD_SECS > 0:
+
+        def _bench_watchdog_fire() -> None:
+            from detr_tpu.utils.chip_pause import PAUSE_FILE
+
+            try:
+                os.unlink(PAUSE_FILE)
+            except OSError:
+                pass
+            print(
+                json.dumps(
+                    {
+                        "metric": "bench_watchdog",
+                        "value": None,
+                        "unit": f"FAILED: bench did not complete within "
+                                f"{_WD_SECS:.0f}s (wedged TPU transport?)",
+                        "vs_baseline": 0,
+                    }
+                ),
+                flush=True,
+            )
+            os._exit(3)
+
+        _t = threading.Timer(_WD_SECS, _bench_watchdog_fire)
+        _t.daemon = True
+        _t.start()
+
     from detr_tpu.utils.chip_pause import request_chip_pause
 
     # Ask any concurrently-running trainer to yield the (single) chip for
