@@ -27,8 +27,9 @@ Deliberate divergence (documented, SURVEY §7 known quirks): the reference
 normalizes box losses by the *per-local-batch* GT count (detr/loss.py:142);
 official DETR all-reduces it across data-parallel workers.  Under a single
 jit over a GSPMD mesh the sum below is already global (the trainer always
-gets the global-normalizer behavior); only ``shard_map`` callers need to
-pass ``axis_name`` to psum it explicitly.
+gets the global-normalizer behavior); ``shard_map`` callers pass
+``axis_name`` and every cross-image reduction — not just the box
+normalizer — is psum'd explicitly.
 """
 
 from __future__ import annotations
@@ -44,7 +45,6 @@ from detr_tpu.ops.boxes import (
     box_cxcywh_to_xyxy,
     box_xyxy_to_cxcywh,
     elementwise_generalized_box_iou,
-    top1_accuracy,
 )
 
 Array = jax.Array
@@ -79,8 +79,11 @@ class SetCriterion:
             "image_valid": (B,) bool — False rows are loader padding (the
             repeated items that fill the final short eval batch) and are
             excluded from every loss term}.
-          axis_name: optional mesh axis to psum the box normalizer over
-            (shard_map usage only; under plain jit reductions are global).
+          axis_name: optional mesh axis for shard_map callers — psums
+            EVERY cross-image reduction (box normalizer, CE and cardinality
+            numerators+denominators, class-error counts) so per-shard and
+            global values agree.  Under plain jit reductions are already
+            global; leave None.
 
         Returns a dict of fp32 scalars with reference-parity keys.
         """
@@ -116,7 +119,8 @@ class SetCriterion:
 
         per_layer = jax.vmap(
             lambda lg, bx, q: self._layer_losses(
-                lg, bx, q, class_idx, gt_boxes, gt_valid, num_boxes, image_valid
+                lg, bx, q, class_idx, gt_boxes, gt_valid, num_boxes,
+                image_valid, axis_name,
             ),
             in_axes=(1, 1, 1),
         )(logits, boxes, qog)
@@ -129,14 +133,25 @@ class SetCriterion:
             losses[f"cardinality_error{sfx}"] = per_layer["cardinality"][i]
             losses[f"loss_l1_bbox{sfx}"] = per_layer["l1_bbox"][i]
             losses[f"loss_giou{sfx}"] = per_layer["giou"][i]
-        losses["class_error"] = per_layer["class_error"][L - 1]
+        # Class error is last-layer-only in the reference (detr/loss.py:220
+        # condition) — computing it per layer inside the vmap would be 5
+        # wasted (B, G, C+1) gathers per step.
+        losses["class_error"] = self._class_error(
+            logits[:, -1], qog[:, -1], class_idx, gt_valid, axis_name
+        )
         return losses
 
     # ----- single-layer losses (B, Q, *) -> scalars -----
 
     def _layer_losses(
-        self, logits, boxes, qog, class_idx, gt_boxes, gt_valid, num_boxes, image_valid
+        self, logits, boxes, qog, class_idx, gt_boxes, gt_valid, num_boxes,
+        image_valid, axis_name=None,
     ):
+        def _greduce(x):
+            # Cross-shard reduction for shard_map callers; identity under
+            # plain jit where the sums above are already global.
+            return jax.lax.psum(x, axis_name) if axis_name is not None else x
+
         B, Q, C1 = logits.shape
         G = class_idx.shape[-1]
         no_object = self.num_classes
@@ -156,7 +171,11 @@ class SetCriterion:
         logp = jax.nn.log_softmax(logits, axis=-1)
         nll = -jnp.take_along_axis(logp, target_classes[..., None], axis=-1)[..., 0]
         w = class_weight[target_classes] * image_valid[:, None].astype(jnp.float32)
-        loss_ce = self.weight_label_ce * jnp.sum(w * nll) / jnp.sum(w)
+        ce_num = _greduce(jnp.sum(w * nll))
+        ce_den = _greduce(jnp.sum(w))
+        # ce_den == 0 only when EVERY image (globally) is loader padding —
+        # return 0 then instead of NaN-poisoning the gradients.
+        loss_ce = self.weight_label_ce * ce_num / jnp.maximum(ce_den, 1e-6)
 
         # Cardinality error (reference detr/loss.py:97-121), mean over the
         # non-padded images only.
@@ -164,8 +183,8 @@ class SetCriterion:
         card_pred = jnp.sum((pred_class != no_object).astype(jnp.float32), axis=1)
         n_gt = jnp.sum(gt_valid.astype(jnp.float32), axis=1)
         img_w = image_valid.astype(jnp.float32)
-        cardinality = jnp.sum(img_w * jnp.abs(card_pred - n_gt)) / jnp.maximum(
-            jnp.sum(img_w), 1.0
+        cardinality = _greduce(jnp.sum(img_w * jnp.abs(card_pred - n_gt))) / (
+            jnp.maximum(_greduce(jnp.sum(img_w)), 1.0)
         )
 
         # Box losses over matched pairs (reference detr/loss.py:123-164).
@@ -173,9 +192,9 @@ class SetCriterion:
         gather_q = jnp.clip(qog, 0)
         src_boxes = jnp.take_along_axis(boxes, gather_q[..., None], axis=1)  # (B,G,4)
         tgt_cxcywh = box_xyxy_to_cxcywh(gt_boxes)
-        l1 = jnp.sum(
+        l1 = _greduce(jnp.sum(
             jnp.where(pair_valid[..., None], jnp.abs(src_boxes - tgt_cxcywh), 0.0)
-        )
+        ))
         loss_l1 = self.weight_bbox_l1 * l1 / num_boxes
 
         giou = elementwise_generalized_box_iou(
@@ -183,17 +202,8 @@ class SetCriterion:
         )  # (B, G)
         loss_giou = (
             self.weight_bbox_giou
-            * jnp.sum(jnp.where(pair_valid, 1.0 - giou, 0.0))
+            * _greduce(jnp.sum(jnp.where(pair_valid, 1.0 - giou, 0.0)))
             / num_boxes
-        )
-
-        # Class error over matched queries (reference detr/loss.py:92-94,
-        # detr/utils.py:100-116): 100 - top-1 accuracy; 100 when no GT.
-        matched_logits = jnp.take_along_axis(
-            logits, gather_q[..., None], axis=1
-        ).reshape(-1, C1)
-        class_error = 100.0 - top1_accuracy(
-            matched_logits, class_idx.reshape(-1), pair_valid.reshape(-1)
         )
 
         return {
@@ -201,5 +211,23 @@ class SetCriterion:
             "cardinality": cardinality,
             "l1_bbox": loss_l1,
             "giou": loss_giou,
-            "class_error": class_error,
         }
+
+    def _class_error(self, logits, qog, class_idx, gt_valid, axis_name=None):
+        """Class error over matched queries of the LAST layer (reference
+        detr/loss.py:92-94, detr/utils.py:100-116): 100 - top-1 accuracy;
+        100 when no GT exists anywhere (matching the reference's
+        empty-target early return via the max(den, 1) guard)."""
+        pair_valid = gt_valid & (qog >= 0)
+        gather_q = jnp.clip(qog, 0)
+        matched = jnp.take_along_axis(logits, gather_q[..., None], axis=1)
+        pred = jnp.argmax(matched, axis=-1)  # (B, G)
+        correct = jnp.where(
+            pair_valid, (pred == class_idx).astype(jnp.float32), 0.0
+        )
+        num = jnp.sum(correct)
+        den = jnp.sum(pair_valid.astype(jnp.float32))
+        if axis_name is not None:
+            num = jax.lax.psum(num, axis_name)
+            den = jax.lax.psum(den, axis_name)
+        return 100.0 - 100.0 * num / jnp.maximum(den, 1.0)

@@ -17,12 +17,12 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
-from detr_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD
-
-_SCALE = (1.0 / (255.0 * IMAGENET_STD)).astype(np.float32)
-_BIAS = (IMAGENET_MEAN / IMAGENET_STD).astype(np.float32)
+# THE folded constants — imported from the host path, not re-derived, so
+# the two wire formats (uint8 device-normalize vs fp32 host-normalize)
+# cannot silently desynchronize.
+from detr_tpu.data.transforms import _NORM_BIAS as _BIAS  # noqa: F401
+from detr_tpu.data.transforms import _NORM_SCALE as _SCALE  # noqa: F401
 
 Array = jax.Array
 

@@ -625,6 +625,11 @@ def pallas_masked_attention(
     int32 scalar array); forward and backward regenerate the identical mask.
     """
     if seed is None:
+        if dropout_rate > 0.0:
+            # Match the XLA path's contract (ops/attention.py): a silent
+            # constant seed would reuse ONE dropout mask every call/step,
+            # degenerating dropout into fixed structured sparsity.
+            raise ValueError("dropout_rate > 0 requires a seed")
         seed = jnp.zeros((1,), jnp.int32)
     out, _ = _flash_forward(q, k, v, key_padding_mask, seed, dropout_rate, block_q)
     return out

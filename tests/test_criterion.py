@@ -227,3 +227,51 @@ def test_image_valid_excludes_padded_images(rng):
     assert set(padded) == set(unpadded)
     for k in unpadded:
         assert float(padded[k]) == pytest.approx(float(unpadded[k]), rel=1e-4, abs=1e-5), k
+
+
+def test_criterion_shard_map_axis_name_matches_jit():
+    """The axis_name contract: under shard_map over a data axis, EVERY loss
+    key must equal the plain-jit (global-batch) value — box normalizer, CE
+    and cardinality numerators+denominators, and class-error counts are all
+    psum'd.  Includes a shard whose single row is loader padding
+    (image_valid False): its local denominators are zero, which must not
+    NaN the global values."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    rng = np.random.default_rng(11)
+    B = 8
+    outputs, targets = make_problem(
+        rng, B=B, L=2, Q=12, G=6, C=5, n_valid=(4, 0, 6, 2, 1, 3, 5, 2)
+    )
+    targets = dict(targets)
+    # row 1 has no GT; row 4 is loader padding — shard 4 becomes all-padding
+    targets["image_valid"] = np.array(
+        [True, True, True, True, False, True, True, True]
+    )
+
+    crit = SetCriterion(num_classes=5, matcher=HungarianMatcher())
+    outs_j = {k: jnp.asarray(v) for k, v in outputs.items()}
+    tgts_j = {k: jnp.asarray(v) for k, v in targets.items()}
+
+    ref = jax.jit(lambda o, t: crit(o, t))(outs_j, tgts_j)
+
+    devices = np.array(jax.devices()[:8])
+    mesh = Mesh(devices, ("d",))
+    sharded = shard_map(
+        lambda o, t: crit(o, t, axis_name="d"),
+        mesh=mesh,
+        in_specs=(P("d"), P("d")),
+        out_specs=P(),  # psum'd scalars are replicated
+        # the auction's while_loop carry starts from unvarying constants,
+        # which the strict varying-manual-axes checker rejects; replication
+        # of the outputs is guaranteed by the psums themselves
+        check_rep=False,
+    )
+    got = sharded(outs_j, tgts_j)
+
+    assert set(got) == set(ref)
+    for k in ref:
+        np.testing.assert_allclose(
+            float(got[k]), float(ref[k]), rtol=2e-5, atol=2e-5, err_msg=k
+        )
