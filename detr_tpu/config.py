@@ -168,10 +168,15 @@ class TrainingConfig:
     num_devices: int = 0
     # Aspect-ratio buckets as (height, width) pairs the jitted step compiles
     # for; images are padded to the smallest bucket that fits (SURVEY §7.5).
+    # The defaults COVER the reference train-augmentation envelope (shortest
+    # side 480-800, longest <= 1333, detr/data.py:20-63): an 800x1067
+    # augmented sample must land in a bucket at full resolution, not be
+    # silently downscaled below the resolution the reference trains at.
+    # Speed/resolution can be traded explicitly via --shape-buckets.
     shape_buckets: Tuple[Tuple[int, int], ...] = (
-        (768, 768),
-        (512, 1024),
-        (1024, 512),
+        (832, 1344),
+        (1344, 832),
+        (1056, 1056),
     )
     # Eval compiles for this fixed shape plus its transpose (portrait images
     # keep full resolution); shortest side 800, max side 1333 rounded to /32

@@ -253,18 +253,35 @@ class BucketedLoader:
         for pos, i in enumerate(indices):
             in_q.put((pos, i))
         stop = object()
+        abandoned = threading.Event()
+        # The augmentation chain is Python/GIL-bound (the whole reason the
+        # process pool exists), so serializing dataset access costs nothing
+        # here — and numpy Generators are NOT thread-safe: unlocked threads
+        # would race the shared transform RNG's PCG64 state.
+        load_lock = threading.Lock()
 
         def worker():
-            while True:
+            while not abandoned.is_set():
                 try:
                     pos, i = in_q.get_nowait()
                 except queue.Empty:
                     out_q.put(stop)
                     return
                 try:
-                    out_q.put((pos, self._load_item(i)))
+                    with load_lock:
+                        payload = self._load_item(i)
                 except Exception as e:  # surface loader errors, don't hang
-                    out_q.put((pos, e))
+                    payload = e
+                # Bounded put that stays responsive to abandonment: a
+                # consumer that walks away (trainer sample fetch,
+                # --limit-*-iters breaks) must not leave threads pinned
+                # forever on a full out_q holding decoded images.
+                while not abandoned.is_set():
+                    try:
+                        out_q.put((pos, payload), timeout=0.2)
+                        break
+                    except queue.Full:
+                        continue
 
         threads = [
             threading.Thread(target=worker, daemon=True)
@@ -278,21 +295,32 @@ class BucketedLoader:
         next_pos = 0
         served = 0
         total = len(indices)
-        while served < total:
-            item = out_q.get()
-            if item is stop:
-                finished += 1
-                continue
-            pos, payload = item
-            pending[pos] = payload
-            # deterministic order: serve in index order
-            while next_pos in pending:
-                payload = pending.pop(next_pos)
-                next_pos += 1
-                served += 1
-                if isinstance(payload, Exception):
-                    raise payload
-                yield payload
+        try:
+            while served < total:
+                item = out_q.get()
+                if item is stop:
+                    finished += 1
+                    continue
+                pos, payload = item
+                pending[pos] = payload
+                # deterministic order: serve in index order
+                while next_pos in pending:
+                    payload = pending.pop(next_pos)
+                    next_pos += 1
+                    served += 1
+                    if isinstance(payload, Exception):
+                        raise payload
+                    yield payload
+        finally:
+            # Runs on natural exhaustion AND on generator close: release
+            # the workers (they re-check `abandoned` on every queue op)
+            # and drop any buffered payloads.
+            abandoned.set()
+            try:
+                while True:
+                    out_q.get_nowait()
+            except queue.Empty:
+                pass
 
     def _batch_quota(self) -> Optional[int]:
         """Exact per-epoch batch count in sharded (multi-process) mode.

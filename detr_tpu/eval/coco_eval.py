@@ -87,6 +87,7 @@ class CocoEvaluator:
         self._dets = defaultdict(list)  # image_id -> list of (box, score, label)
         self._gts = defaultdict(list)  # image_id -> (boxes, labels, iscrowd)
         self._image_ids = []
+        self._group_cache: dict = {}  # image_id -> {cls: (db, ds, gb, gc)}
 
     def add_image(
         self,
@@ -112,22 +113,39 @@ class CocoEvaluator:
             np.asarray(gt_labels, np.int64).reshape(-1),
             np.asarray(gt_iscrowd, bool).reshape(-1),
         )
+        self._group_cache.pop(image_id, None)
 
     # ------------------------------------------------------------- matching
+
+    def _grouped(self, image_id) -> dict:
+        """{cls: (det_boxes, det_scores, gt_boxes, gt_iscrowd)} built ONCE
+        per image (pycocotools keeps a per-(img, cat) index the same way):
+        compute() iterates all num_classes per image, and rescanning the
+        label arrays 80x per image dominated at 5k-image scale."""
+        cache = self._group_cache.get(image_id)
+        if cache is None:
+            db, ds, dl = self._dets[image_id]
+            gb, gl, gc = self._gts[image_id]
+            cache = {}
+            present = np.unique(np.concatenate([dl, gl])) if (
+                len(dl) or len(gl)
+            ) else ()
+            for cls in present:
+                dsel = dl == cls
+                gsel = gl == cls
+                cache[int(cls)] = (db[dsel], ds[dsel], gb[gsel], gc[gsel])
+            self._group_cache[image_id] = cache
+        return cache
 
     def _image_class_data(self, image_id, cls) -> dict | None:
         """Range-independent work, done ONCE per (image, class) and reused by
         all four area ranges (pycocotools computes IoU once per (img, cat)
         too): det/GT selection, score sort + maxDets cap, areas, and the IoU
         matrix (in base GT order — per-range matching permutes its columns)."""
-        db, ds, dl = self._dets[image_id]
-        gb, gl, gc = self._gts[image_id]
-        dsel = dl == cls
-        gsel = gl == cls
-        if not dsel.any() and not gsel.any():
+        entry = self._grouped(image_id).get(cls)
+        if entry is None:
             return None
-        db, ds = db[dsel], ds[dsel]
-        gb, gc = gb[gsel], gc[gsel]
+        db, ds, gb, gc = entry
 
         # sort dets by score desc, cap maxDets
         order = np.argsort(-ds, kind="mergesort")[:MAX_DETS]
@@ -163,6 +181,12 @@ class CocoEvaluator:
             native = _native.match_detections(ious, gc, g_ignore, IOU_THRESHOLDS)
         if native is not None:
             det_matched, det_matched_ignore = native
+        elif D == 0 or G == 0:
+            # Nothing can match: skip the scalar loops (the D>0, G==0 case —
+            # a class detected in an image with no GT of it — is extremely
+            # common and was burning T*D no-op iterations per call).
+            det_matched = np.zeros((T, D), bool)
+            det_matched_ignore = np.zeros((T, D), bool)
         else:
             det_matched = np.zeros((T, D), bool)
             det_matched_ignore = np.zeros((T, D), bool)
@@ -232,9 +256,9 @@ class CocoEvaluator:
         for ti in range(T):
             rc = tp_cum[ti] / num_gt
             pr = tp_cum[ti] / np.maximum(tp_cum[ti] + fp_cum[ti], 1e-12)
-            # monotone non-increasing interpolation (right to left)
-            for i in range(len(pr) - 1, 0, -1):
-                pr[i - 1] = max(pr[i - 1], pr[i])
+            # monotone non-increasing interpolation (right to left),
+            # vectorized: suffix running max == pycocotools' backward loop
+            pr = np.maximum.accumulate(pr[::-1])[::-1]
             # sample at the 101 recall points (first index where rc >= r)
             idx = np.searchsorted(rc, RECALL_THRESHOLDS, side="left")
             prec = np.zeros(R)

@@ -78,12 +78,12 @@ def _make_loaders(config: TrainingConfig, synthetic: bool):
         # can actually converge (loss falls, AP rises), not just execute.
         train_ds = SyntheticCocoDataset(
             config.train_batch_size, h, w, max_gt=config.max_gt_boxes,
-            num_batches=max(config.limit_train_iters, 4) or 4, seed=config.seed,
+            num_batches=max(config.limit_train_iters, 4), seed=config.seed,
             learnable=True,
         )
         val_ds = SyntheticCocoDataset(
             config.val_batch_size, h, w, max_gt=config.max_gt_boxes,
-            num_batches=max(config.limit_val_iters, 2) or 2, seed=config.seed + 1,
+            num_batches=max(config.limit_val_iters, 2), seed=config.seed + 1,
             learnable=True,
         )
         class_names = [f"class_{i}" for i in range(num_classes)]
@@ -184,10 +184,13 @@ def train_DETR(
     )
     logger.info("number of params: %d", n_params)
     logger.info(
-        "Gradient accumulation steps: %d (cumulative batch %d / per-step %d)",
+        "Gradient accumulation steps: %d (EFFECTIVE batch %d = %d micro-steps"
+        " x %d per-step; configured cumulative %d floors to a multiple)",
         config.gradient_accumulation_steps,
-        config.cumulative_train_batch_size,
+        config.gradient_accumulation_steps * config.train_batch_size,
+        config.gradient_accumulation_steps,
         config.train_batch_size,
+        config.cumulative_train_batch_size,
     )
 
     # Pretrained backbone (torchvision ImageNet weights converted offline by
@@ -250,6 +253,14 @@ def train_DETR(
     timer = StepTimer(config.train_batch_size)
     for epoch in range(first_epoch, config.epochs):
         epoch_t0 = time.time()
+        if hasattr(train_loader, "epoch"):
+            # Pin the shuffle permutation to the GLOBAL epoch index (torch
+            # DistributedSampler.set_epoch semantics): a crash-restored run
+            # continues the permutation schedule instead of replaying the
+            # early epochs' orders, and the startup sample fetch doesn't
+            # offset it.  (__iter__ post-increments; assigning here makes
+            # that a no-op.)
+            train_loader.epoch = epoch
         # Per-epoch LR step (reference scheduler.step(), train.py:288): inject
         # this epoch's group LRs into the optimizer state.
         state = state.replace(
@@ -601,7 +612,23 @@ def get_args() -> argparse.Namespace:
         "TPU platform at jax-config level, so JAX_PLATFORMS=cpu alone is "
         "not honored)",
     )
+    parser.add_argument(
+        "--shape-buckets",
+        type=str,
+        default=None,
+        help="override train shape buckets, e.g. '832x1344,1344x832,"
+        "1056x1056' (the default covers the full multi-scale augmentation "
+        "envelope; smaller buckets trade resolution for step speed)",
+    )
     return parser.parse_args()
+
+
+def parse_shape_buckets(spec: str) -> tuple[tuple[int, int], ...]:
+    buckets = []
+    for part in spec.split(","):
+        h, w = part.lower().split("x")
+        buckets.append((int(h), int(w)))
+    return tuple(buckets)
 
 
 def main() -> int:
@@ -636,6 +663,10 @@ def main() -> int:
         eval_epochs=args.eval_epochs,
         num_devices=args.num_devices,
     )
+    if args.shape_buckets:
+        config = config.replace(
+            shape_buckets=parse_shape_buckets(args.shape_buckets)
+        )
     detr_config = DETRConfig(backbone=args.backbone)
     if args.tiny:
         detr_config = detr_config.replace(

@@ -42,7 +42,7 @@ def pause_requested(path: Optional[str] = None) -> bool:
         age = time.time() - os.stat(path).st_mtime
     except OSError:
         return False
-    return 0 <= age <= FRESH_SECS or age < 0  # future mtime: honor anyway
+    return age <= FRESH_SECS  # negative age (future mtime) is honored too
 
 
 def wait_while_paused(

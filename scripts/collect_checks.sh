@@ -12,10 +12,13 @@ ROUND="${1:-03}"
 OUT="CHECKS_r${ROUND}.json"
 : > "$OUT"
 
-CHECK_TIMEOUT="${CHECK_TIMEOUT:-1500}" # per-bench bound: a wedged tunnel
+CHECK_TIMEOUT="${CHECK_TIMEOUT:-2400}" # per-bench bound: a wedged tunnel
                                        # dispatch must not stall the whole
                                        # collection (axon transport can die
-                                       # mid-run; see utils/watchdog.py)
+                                       # mid-run; see utils/watchdog.py).
+                                       # 2400: --e2e cold-compiles the 3
+                                       # envelope-covering bucket shapes
+                                       # (~minutes each through the relay)
 
 run() { # run <label> <args...>: append bench JSON lines, annotate failures
   local label="$1"; shift

@@ -377,3 +377,62 @@ def test_sharded_loader_equal_batch_counts():
     # single-process mode is uncapped (emits every full bucket batch)
     solo = list(BucketedLoader(_VarShapeDS(n), shard=(0, 1), **kw))
     assert len(solo) >= expected
+
+
+class _TinyDS:
+    """Unpicklable-by-reference tiny dataset (locally usable, thread mode)."""
+
+    def __init__(self, n=64, size=32):
+        self.n, self.size = n, size
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        img = np.full((self.size, self.size, 3), i % 255, np.uint8)
+        return img, {
+            "image_id": i,
+            "boxes": np.zeros((0, 4), np.float32),
+            "class_idx": np.zeros((0,), np.int32),
+            "class_id": np.zeros((0,), np.int32),
+            "iscrowd": np.zeros((0,), bool),
+        }
+
+
+def test_loader_thread_abandonment_releases_workers():
+    """Abandoning the iterator mid-epoch (trainer sample fetch,
+    --limit-*-iters breaks) must release the worker threads instead of
+    leaving them pinned on a full out_q holding decoded images."""
+    import threading
+    import time
+
+    baseline = threading.active_count()
+    loader = BucketedLoader(
+        _TinyDS(), batch_size=2, buckets=((32, 32),), shuffle=False,
+        num_workers=2, worker_mode="thread", prefetch=1,
+    )
+    it = iter(loader)
+    next(it)  # workers now saturate the bounded out_q
+    it.close()  # GeneratorExit -> finally -> abandoned.set()
+    deadline = time.time() + 10
+    while time.time() < deadline and threading.active_count() > baseline:
+        time.sleep(0.05)
+    assert threading.active_count() <= baseline
+
+
+def test_loader_epoch_pinning_continues_schedule():
+    """torch DistributedSampler.set_epoch semantics: a fresh loader pinned
+    to epoch E reproduces epoch E's shuffle permutation, so crash-restored
+    runs continue the schedule instead of replaying early epochs."""
+    mk = lambda: BucketedLoader(
+        _TinyDS(n=16), batch_size=2, buckets=((32, 32),), shuffle=True,
+        seed=7, num_workers=0,
+    )
+    natural = mk()
+    orders = [
+        [tuple(b["image_id"].tolist()) for b in natural] for _ in range(3)
+    ]
+    pinned = mk()
+    pinned.epoch = 2  # what trainer.py does on (restored) epoch 2
+    assert [tuple(b["image_id"].tolist()) for b in pinned] == orders[2]
+    assert orders[0] != orders[2]  # permutations actually differ by epoch

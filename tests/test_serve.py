@@ -121,3 +121,15 @@ def test_checkpoint_roundtrip(tmp_path):
     )
     det = eng.predict([np.zeros((70, 70, 3), np.uint8)])[0]
     assert "scores" in det
+
+
+def test_unit_scale_float_rejected(engine):
+    """[0, 1]-scaled float input would normalize to ~-2 everywhere and
+    return confident nonsense; the engine must fail loudly instead."""
+    rng = np.random.default_rng(1)
+    img01 = rng.random((64, 96, 3)).astype(np.float32)
+    with pytest.raises(ValueError, match="0-255"):
+        engine.predict([img01])
+    # The same image on the 0-255 scale is accepted.
+    results = engine.predict([img01 * 255.0])
+    assert len(results) == 1
