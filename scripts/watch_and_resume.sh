@@ -34,11 +34,18 @@ timeout 1500 python scripts/profile_step.py --config dc5 --steps 6 --top 30 \
   > /tmp/profile_dc5.txt 2>/tmp/profile_dc5.err
 echo "$(date -u +%H:%M:%S) dc5 profile done (exit $?)"
 
+# --shape-buckets pins the run to the buckets its epochs 0-2 trained and
+# benched with: one AP curve at one resolution (no mid-run confound), and
+# a memory envelope the chip has already demonstrated it fits (the new
+# envelope-covering DEFAULTS are ~1.75x the pixels — they get their
+# on-chip exercise from `bench.py --e2e` in the checks collection above,
+# bounded and FAILED-annotated, not from a 40-restart training loop).
 MAX_RESTARTS=40 nohup bash scripts/train_with_retry.sh \
   --coco-dataset-root datasets/synth3k_dense \
   --output-dir runs/proof_r3b \
   --train-batch-size 8 --cumulative-train-batch-size 16 \
   --val-batch-size 16 --epochs 50 --eval-epochs 5 \
+  --shape-buckets 768x768,512x1024,1024x512 \
   >> runs/proof_r3b.log 2>&1 &
 echo $! > /tmp/proof.pid
 echo "$(date -u +%H:%M:%S) proof run relaunched, pid $(cat /tmp/proof.pid)"
