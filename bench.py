@@ -286,6 +286,10 @@ def main_e2e() -> None:
                 max_gt=train_config.max_gt_boxes,
             )
             b["image"] = np.clip(b["image"] * 64 + 128, 0, 255).astype(np.uint8)
+            # The loader's batches carry an image_valid key (tail padding);
+            # the warm batch pytree must match EXACTLY or jit retraces and
+            # the "warmed" bucket recompiles inside the timed loop.
+            b["image_valid"] = np.ones(batch_size, bool)
             b = {k: jnp.asarray(v) for k, v in b.items()}
             state, m = train_step(state, shard_batch(b, mesh))
         _ = float(m["loss"])
@@ -549,6 +553,13 @@ def main() -> None:
         detr_config = DETRConfig(dtype="bfloat16", use_pallas_attention=use_pallas)
     else:
         raise SystemExit(f"unknown --config {cfg!r}")
+    # CPU-smoke knobs (like BENCH_K): shrink shapes/batch so the loop and
+    # --mfu cost-analysis paths can be validated off-chip in minutes.
+    # Published numbers always use the per-config defaults above.
+    if os.environ.get("BENCH_SHAPE"):
+        height, width = (int(v) for v in os.environ["BENCH_SHAPE"].split("x"))
+    if os.environ.get("BENCH_BS"):
+        batch_size = int(os.environ["BENCH_BS"])
     train_config = TrainingConfig(
         cumulative_train_batch_size=batch_size,  # time raw steps, no accumulation
         train_batch_size=batch_size,
@@ -636,26 +647,42 @@ def main() -> None:
     img_per_s = batch_size * K / dt
     suffix = "" if cfg in ("r50", "eval640") else f"_{cfg}"
     stem = "eval_fwd_match_loss_640" if cfg == "eval640" else "train"
+    # BASELINE_IMG_PER_S is the reference's full train step (fwd+bwd+
+    # optimizer+DataLoader); eval640 is forward+match+loss only, so a ratio
+    # against the train baseline would be apples-to-oranges — BASELINE.json
+    # publishes no number for config #1, hence null.
+    vs_base = (
+        None if cfg == "eval640" else round(img_per_s / BASELINE_IMG_PER_S, 3)
+    )
     print(
         json.dumps(
             {
                 "metric": f"{stem}_images_per_sec_per_chip{suffix}",
                 "value": round(img_per_s, 2),
                 "unit": "img/s",
-                "vs_baseline": round(img_per_s / BASELINE_IMG_PER_S, 3),
+                "vs_baseline": vs_base,
             }
         )
     )
 
     if "--mfu" in sys.argv:
         # Model FLOPs utilization from the COMPILED program's own cost
-        # analysis (XLA's flop count for the fused K-step loop, so exactly
-        # what ran — not an analytic estimate), against the chip's dense
-        # bf16 peak (round-2 verdict weak #1: publish MFU per config).
-        cost = run.lower(state, warm_batch).compile().cost_analysis()
+        # analysis (XLA's flop count, so exactly the program that ran — not
+        # an analytic estimate), against the chip's dense bf16 peak
+        # (round-2 verdict weak #1: publish MFU per config).  HLO cost
+        # analysis counts a while-loop body ONCE, not trip-count times
+        # (verified empirically: a K=10 fori_loop matmul reports one
+        # matmul's flops), so lower the SINGLE step — dividing the K-loop
+        # program's count by K would understate MFU ~K-fold.
+        cost = (
+            jax.jit(one_step)
+            .lower(state, warm_batch)
+            .compile()
+            .cost_analysis()
+        )
         if isinstance(cost, (list, tuple)):  # older jax: one dict per device
             cost = cost[0]
-        flops_per_step = float(cost["flops"]) / K
+        flops_per_step = float(cost["flops"])
         achieved_tflops = flops_per_step / (dt / K) / 1e12
         kind = jax.devices()[0].device_kind
         peak = _peak_tflops(kind)

@@ -127,6 +127,18 @@ class BucketedLoader:
         self.image_dtype = image_dtype
         self.epoch = 0
         self._pool = None
+        if self._batch_quota() == 0:
+            # quota == 0 would make every epoch a silent no-op (the trainer
+            # would "finish" having taken zero optimizer steps).  This is a
+            # configuration error: the per-process shard is too small for
+            # the guaranteed lower bound floor(n/B) - (k-1) to be positive.
+            raise ValueError(
+                f"dataset shard of {len(dataset) // shard[1]} items cannot "
+                f"guarantee even one full batch per epoch across "
+                f"{len(self.buckets)} buckets at batch_size {batch_size} "
+                f"(needs >= {len(self.buckets) * batch_size} items/shard); "
+                f"use a smaller batch, fewer buckets, or more data"
+            )
 
     def close(self) -> None:
         if self._pool is not None:
@@ -265,7 +277,16 @@ class BucketedLoader:
                 try:
                     pos, i = in_q.get_nowait()
                 except queue.Empty:
-                    out_q.put(stop)
+                    # Same bounded, abandonment-responsive put as below: with
+                    # more workers than out_q slots, unconditional puts of
+                    # the stop sentinel can block forever after the consumer
+                    # walks away, leaking the thread and its queued payloads.
+                    while not abandoned.is_set():
+                        try:
+                            out_q.put(stop, timeout=0.2)
+                            break
+                        except queue.Full:
+                            continue
                     return
                 try:
                     with load_lock:

@@ -109,6 +109,19 @@ def load_backbone_npz(path: str) -> tuple[dict, dict]:
     return params, frozen
 
 
+def _graft_leaf(d, s):
+    """Cast a converted leaf to the model leaf's dtype, asserting EXACT
+    shape: a same-size wrong-shape leaf (e.g. a transposed Dense kernel
+    from a mapping bug) must fail here, not reshape-"succeed" into a model
+    that predicts garbage."""
+    s = np.asarray(s, d.dtype)
+    if s.shape != d.shape:
+        raise ValueError(
+            f"converted leaf shape {s.shape} != model leaf {d.shape}"
+        )
+    return s
+
+
 def apply_backbone_weights(variables: dict, params: dict, frozen: dict) -> dict:
     """Graft converted backbone trees into a DETR variables dict."""
     import jax
@@ -118,9 +131,7 @@ def apply_backbone_weights(variables: dict, params: dict, frozen: dict) -> dict:
     new_frozen = dict(new_vars.get("frozen", {}))
 
     def check_and_cast(dst, src):
-        return jax.tree_util.tree_map(
-            lambda d, s: np.asarray(s, d.dtype).reshape(d.shape), dst, src
-        )
+        return jax.tree_util.tree_map(_graft_leaf, dst, src)
 
     new_params["backbone"] = check_and_cast(new_params["backbone"], params)
     new_frozen["backbone"] = check_and_cast(new_frozen["backbone"], frozen)
@@ -344,9 +355,7 @@ def apply_detr_weights(variables: dict, params: dict, frozen: dict) -> dict:
     import jax
 
     def check_and_cast(dst, src):
-        return jax.tree_util.tree_map(
-            lambda d, s: np.asarray(s, d.dtype).reshape(d.shape), dst, src
-        )
+        return jax.tree_util.tree_map(_graft_leaf, dst, src)
 
     new_vars = dict(variables)
     new_vars["params"] = check_and_cast(new_vars["params"], params)

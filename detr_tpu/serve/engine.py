@@ -139,14 +139,20 @@ class InferenceEngine:
         prepped = []  # (orig_idx, bucket_id, img, valid_h, valid_w, oh, ow)
         for idx, img in enumerate(images):
             arr = np.asarray(img)
-            if arr.dtype.kind == "f" and arr.size and float(arr.max()) <= 2.0:
+            if arr.dtype.kind == "f" and arr.size:
                 # The normalize path assumes 0-255 pixel scale; a [0, 1]
                 # float image would normalize to ~-2 everywhere and return
-                # confident nonsense with no error.
-                raise ValueError(
-                    "float images must be on the 0-255 scale (got max "
-                    f"{float(arr.max()):.3f}); multiply by 255 or pass uint8"
-                )
+                # confident nonsense with no error.  Only max in (0, 1] is
+                # treated as [0, 1]-scale: an all-zero frame is identical on
+                # both scales, and a genuinely dark 0-255 image (max in
+                # (1, 255]) must stay servable — a camera feed's black
+                # frames are legitimate requests, not client bugs.
+                mx = float(arr.max())
+                if 0.0 < mx <= 1.0:
+                    raise ValueError(
+                        "float images must be on the 0-255 scale (got max "
+                        f"{mx:.3f}); multiply by 255 or pass uint8"
+                    )
             oh, ow = arr.shape[:2]
             timg, _ = self.transform(arr, _empty_target())
             bucket_id = pick_bucket(timg.shape[0], timg.shape[1], self.buckets)

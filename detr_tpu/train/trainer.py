@@ -219,7 +219,19 @@ def train_DETR(
             {"params": state.params, "frozen": state.frozen},
             prepare_image(sample["image"], sample["height"], sample["width"]),
         )
-        state = state.replace(frozen=cal["frozen"])
+        frozen = cal["frozen"]
+        if jax.process_count() > 1:
+            # Each process's sample batch comes from ITS OWN dataset shard,
+            # so per-process calibration stats differ — but shard_state
+            # places frozen as replicated arrays whose replicas are trusted
+            # to agree across hosts (see parallel/mesh.py shard_state).
+            # Broadcast process 0's stats so the contract holds.
+            from jax.experimental import multihost_utils
+
+            frozen = jax.device_get(
+                multihost_utils.broadcast_one_to_all(frozen)
+            )
+        state = state.replace(frozen=frozen)
         logger.info("calibrated frozen-BN statistics (no pretrained backbone)")
 
     # Resume paths:

@@ -63,13 +63,40 @@ def wait_while_paused(
 
 @contextlib.contextmanager
 def request_chip_pause(path: Optional[str] = None) -> Iterator[None]:
-    """Holds the pause file for the duration of the block (benchmark side)."""
+    """Holds the pause file for the duration of the block (benchmark side).
+
+    External supervisors (``timeout`` in collect_checks.sh and
+    watch_and_resume.sh) deliver SIGTERM, whose default disposition kills
+    the process WITHOUT running ``finally`` blocks — the flag would
+    outlive the benchmark and idle a live trainer for up to FRESH_SECS.
+    While the flag is held, a SIGTERM handler unlinks it before exiting
+    with the conventional 128+15 status.
+    """
+    import signal
+    import threading
+
     path = path or PAUSE_FILE
     try:
         with open(path, "w") as f:
             f.write(str(os.getpid()))
     except OSError:
         pass  # unwritable path: degrade to no arbitration
+
+    def _on_term(signum, frame):
+        try:
+            os.unlink(path)
+        except OSError:
+            pass
+        os._exit(143)
+
+    prev_handler = None
+    installed = False
+    if threading.current_thread() is threading.main_thread():
+        try:  # signal.signal is main-thread-only; degrade gracefully
+            prev_handler = signal.signal(signal.SIGTERM, _on_term)
+            installed = True
+        except (ValueError, OSError):
+            pass
     try:
         yield
     finally:
@@ -77,3 +104,8 @@ def request_chip_pause(path: Optional[str] = None) -> Iterator[None]:
             os.unlink(path)
         except OSError:
             pass
+        if installed:
+            try:
+                signal.signal(signal.SIGTERM, prev_handler)
+            except (ValueError, OSError, TypeError):
+                pass

@@ -20,6 +20,12 @@ CHECK_TIMEOUT="${CHECK_TIMEOUT:-2400}" # per-bench bound: a wedged tunnel
                                        # envelope-covering bucket shapes
                                        # (~minutes each through the relay)
 
+# Fire bench's INTERNAL watchdog before the external `timeout` SIGTERM:
+# the internal one releases the chip-pause flag and emits a machine-
+# readable FAILED line; SIGTERM is only the backstop (request_chip_pause
+# also cleans the flag on SIGTERM, but leaves no JSON).
+export BENCH_WATCHDOG_SECS="${BENCH_WATCHDOG_SECS:-$((CHECK_TIMEOUT - 120))}"
+
 run() { # run <label> <args...>: append bench JSON lines, annotate failures
   local label="$1"; shift
   echo "== $label: python bench.py $*" >&2

@@ -56,3 +56,33 @@ def test_wait_while_paused_blocks_then_returns(tmp_path):
 def test_wait_no_pause_is_instant(tmp_path):
     waited = cp.wait_while_paused(None, poll_secs=0.05, path=str(tmp_path / "x"))
     assert waited < 0.05
+
+
+def test_sigterm_while_holding_pause_cleans_flag(tmp_path):
+    """External supervisors (`timeout` in collect_checks.sh) SIGTERM a
+    wedged benchmark; the default disposition skips `finally`, so the
+    handler installed by request_chip_pause must unlink the flag — a
+    stale flag idles a live trainer for up to FRESH_SECS."""
+    import signal
+    import subprocess
+    import sys
+
+    path = str(tmp_path / "pause")
+    code = (
+        "import sys, time\n"
+        "from detr_tpu.utils.chip_pause import request_chip_pause\n"
+        f"with request_chip_pause({path!r}):\n"
+        "    print('held', flush=True)\n"
+        "    time.sleep(60)\n"
+    )
+    p = subprocess.Popen(
+        [sys.executable, "-c", code],
+        stdout=subprocess.PIPE,
+        text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert p.stdout.readline().strip() == "held"
+    assert os.path.exists(path)
+    p.send_signal(signal.SIGTERM)
+    assert p.wait(timeout=30) == 143  # conventional 128+SIGTERM
+    assert not os.path.exists(path)

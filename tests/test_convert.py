@@ -118,3 +118,37 @@ def test_apply_backbone_weights_and_forward():
     )
     assert out.shape == (1, 2, 2, 2048)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_apply_weights_rejects_same_size_wrong_shape():
+    """A same-element-count wrong-shape leaf (the signature of a transposed
+    kernel from a mapping bug) must raise, not silently reshape into a
+    model that predicts garbage."""
+    sd = fake_torchvision_state_dict()
+    params, frozen = convert_torch_state_dict(sd, "resnet50")
+
+    model = ResNetBackbone(backbone="resnet50", dtype="float32")
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+
+    def transpose_first_4d(tree):
+        done = False
+
+        def f(x):
+            nonlocal done
+            x = np.asarray(x)
+            if not done and x.ndim == 4 and x.shape[-2] != x.shape[-1]:
+                done = True
+                return np.swapaxes(x, -2, -1)
+            return x
+
+        out = jax.tree_util.tree_map(f, tree)
+        assert done, "fixture needs one non-square 4D kernel"
+        return out
+
+    with pytest.raises(ValueError, match="leaf shape"):
+        apply_backbone_weights(
+            {"params": {"backbone": variables["params"]},
+             "frozen": {"backbone": variables["frozen"]}},
+            transpose_first_4d(params),
+            frozen,
+        )

@@ -379,6 +379,51 @@ def test_sharded_loader_equal_batch_counts():
     assert len(solo) >= expected
 
 
+def test_sharded_loader_too_small_shard_raises():
+    """quota == 0 must be a loud construction error, not a trainer that
+    'finishes' every epoch having emitted zero batches (the lower bound
+    floor(n/B) - (k-1) hits 0 when the shard is smaller than k*B items)."""
+    from detr_tpu.data.loader import BucketedLoader
+
+    buckets = ((832, 1344), (1344, 832), (1056, 1056))
+    with pytest.raises(ValueError, match="full batch per epoch"):
+        BucketedLoader(
+            _VarShapeDS(20), batch_size=4, buckets=buckets, max_gt=4,
+            shuffle=True, drop_last=True, num_workers=0, shard=(0, 2),
+        )
+
+
+def test_thread_workers_released_when_abandoned_with_full_queue():
+    """With more workers than out_q slots (batch_size=1, prefetch=1), the
+    stop sentinels cannot all fit in the queue; workers must still exit
+    after the consumer abandons the epoch instead of blocking forever in
+    out_q.put(stop)."""
+    import threading
+    import time as _time
+
+    from detr_tpu.data.loader import BucketedLoader
+
+    before = set(threading.enumerate())
+    loader = BucketedLoader(
+        _TinyDS(n=32), batch_size=1, buckets=((64, 64),), max_gt=4,
+        shuffle=False, drop_last=True, num_workers=8, prefetch=1,
+        worker_mode="thread",
+    )
+    it = iter(loader)
+    next(it)
+    it.close()  # abandon mid-epoch: GeneratorExit -> abandoned.set()
+    deadline = _time.monotonic() + 15.0
+    while _time.monotonic() < deadline:
+        leaked = [
+            t for t in threading.enumerate()
+            if t not in before and t.is_alive()
+        ]
+        if not leaked:
+            break
+        _time.sleep(0.1)
+    assert not leaked, f"worker threads leaked after abandonment: {leaked}"
+
+
 class _TinyDS:
     """Unpicklable-by-reference tiny dataset (locally usable, thread mode)."""
 

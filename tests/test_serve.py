@@ -133,3 +133,14 @@ def test_unit_scale_float_rejected(engine):
     # The same image on the 0-255 scale is accepted.
     results = engine.predict([img01 * 255.0])
     assert len(results) == 1
+
+
+def test_dark_float_images_accepted(engine):
+    """Legitimately dark 0-255-scale floats must stay servable: an
+    all-black frame (identical on both scales) and a near-black frame with
+    max pixel 2.0/255 are real camera-feed requests, not client bugs."""
+    black = np.zeros((64, 96, 3), np.float32)
+    dark = np.full((64, 96, 3), 2.0, np.float32)
+    results = engine.predict([black, dark])
+    assert len(results) == 2
+    assert all("scores" in r for r in results)
