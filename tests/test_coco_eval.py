@@ -217,3 +217,50 @@ def test_native_kernel_matches_numpy(rng):
                     taken[best_g] = True
         np.testing.assert_array_equal(m_nat, m_ref)
         np.testing.assert_array_equal(mi_nat, mi_ref)
+
+
+def test_batched_native_compute_matches_per_image_path(rng):
+    """The batched native evaluate (one evaluate_blocks call per class,
+    native/cocoeval.cc) must agree EXACTLY with the per-image fallback on
+    randomized content covering crowds, area edges, empty images, and a
+    >MAX_DETS same-class overflow (skipped when no C++ toolchain)."""
+    from detr_tpu.eval import _native
+    from detr_tpu.eval.coco_eval import CocoEvaluator
+
+    if _native.load() is None:
+        pytest.skip("no C++ toolchain")
+
+    C = 7
+
+    def boxes(n, scale=300.0):
+        b = np.sort(rng.uniform(0, scale, (n, 2, 2)), axis=1)
+        return b.reshape(n, 4)[:, [0, 2, 1, 3]].astype(np.float64)
+
+    ev = CocoEvaluator(num_classes=C)
+    for i in range(40):
+        ng = int(rng.integers(0, 10))
+        nd = int(rng.integers(0, 14))
+        if i == 3:
+            nd = 130  # same-class maxDets overflow
+            dl = np.zeros(nd, np.int64)
+        else:
+            dl = rng.integers(0, C, nd)
+        ev.add_image(
+            i, boxes(nd), np.round(rng.random(nd), 1), dl,
+            boxes(ng), rng.integers(0, C, ng), rng.random(ng) < 0.25,
+        )
+
+    batched = ev.compute()
+    # force the per-image fallback
+    orig = CocoEvaluator._class_precisions_batched
+    CocoEvaluator._class_precisions_batched = lambda self, p, c: None
+    try:
+        fallback = ev.compute()
+    finally:
+        CocoEvaluator._class_precisions_batched = orig
+
+    for k in ("AP", "AP50", "AP75", "AP-small", "AP-medium", "AP-large"):
+        assert batched[k] == pytest.approx(fallback[k], abs=1e-12), k
+    np.testing.assert_allclose(
+        batched["per_class"], fallback["per_class"], atol=1e-12
+    )
