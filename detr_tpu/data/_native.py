@@ -27,11 +27,19 @@ _tried = False
 def _build() -> Optional[str]:
     if os.path.exists(_LIB) and os.path.getmtime(_LIB) >= os.path.getmtime(_SRC):
         return _LIB
+    # -march=native matters: the resize/normalize kernels are memory/SIMD
+    # bound and auto-vectorize (AVX2/AVX-512) only when the ISA is enabled;
+    # fall back to portable codegen where the flag is unsupported.
     for cxx in ("g++", "clang++", "c++"):
-        for omp in (["-fopenmp"], []):
+        for extra in (
+            ["-fopenmp", "-march=native"],
+            ["-fopenmp"],
+            ["-march=native"],
+            [],
+        ):
             try:
                 subprocess.run(
-                    [cxx, "-O3", "-shared", "-fPIC", *omp, "-o", _LIB, _SRC],
+                    [cxx, "-O3", "-shared", "-fPIC", *extra, "-o", _LIB, _SRC],
                     check=True,
                     capture_output=True,
                     timeout=120,
@@ -67,6 +75,27 @@ def load() -> Optional[ctypes.CDLL]:
                 ctypes.POINTER(ctypes.c_float),
                 ctypes.POINTER(ctypes.c_float),
             ]
+            lib.resize_bilinear_u8.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.c_int,
+                ctypes.c_int,
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.c_int,
+                ctypes.c_int,
+            ]
+            lib.affine_gray_f32.argtypes = [
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.c_long,
+                ctypes.c_float,
+                ctypes.c_float,
+                ctypes.c_float,
+            ]
+            lib.gray_mean_f32.argtypes = [
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.c_long,
+            ]
+            lib.gray_mean_f32.restype = ctypes.c_double
             _lib = lib
         except OSError:
             _lib = None
@@ -90,6 +119,68 @@ def hue_rotate(img_f: np.ndarray, delta: float) -> Optional[np.ndarray]:
         ctypes.c_float(float(delta)),
     )
     return out
+
+
+def resize_bilinear(img: np.ndarray, nh: int, nw: int) -> Optional[np.ndarray]:
+    """Antialiased bilinear resize of a uint8 HWC3 image (the PIL BILINEAR /
+    torchvision antialias=True algorithm in float32); None when the kernel
+    is unavailable or the input isn't uint8 HWC3."""
+    lib = load()
+    if (
+        lib is None
+        or img.dtype != np.uint8
+        or img.ndim != 3
+        or img.shape[2] != 3
+        or nh <= 0
+        or nw <= 0
+    ):
+        return None
+    src = np.ascontiguousarray(img)
+    out = np.empty((nh, nw, 3), np.uint8)
+    lib.resize_bilinear_u8(
+        src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int(src.shape[0]),
+        ctypes.c_int(src.shape[1]),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int(nh),
+        ctypes.c_int(nw),
+    )
+    return out
+
+
+def affine_gray(
+    img_f: np.ndarray, alpha: float, beta: float, gamma: float
+) -> Optional[np.ndarray]:
+    """clip(alpha*img + beta*gray(img) + gamma, 0, 255) in one pass on
+    float32 (..., 3); None when the kernel is unavailable."""
+    lib = load()
+    if lib is None or img_f.dtype != np.float32 or img_f.shape[-1] != 3:
+        return None
+    src = np.ascontiguousarray(img_f)
+    out = np.empty(src.shape, np.float32)
+    lib.affine_gray_f32(
+        src.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.c_long(src.size // 3),
+        ctypes.c_float(float(alpha)),
+        ctypes.c_float(float(beta)),
+        ctypes.c_float(float(gamma)),
+    )
+    return out
+
+
+def gray_mean(img_f: np.ndarray) -> Optional[float]:
+    """Mean ITU-R 601 gray of float32 (..., 3); None when unavailable."""
+    lib = load()
+    if lib is None or img_f.dtype != np.float32 or img_f.shape[-1] != 3:
+        return None
+    src = np.ascontiguousarray(img_f)
+    return float(
+        lib.gray_mean_f32(
+            src.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            ctypes.c_long(src.size // 3),
+        )
+    )
 
 
 def normalize_u8(img: np.ndarray, scale: np.ndarray, bias: np.ndarray) -> Optional[np.ndarray]:

@@ -68,8 +68,18 @@ def hflip(img: np.ndarray, target: dict) -> tuple[np.ndarray, dict]:
 def resize(img: np.ndarray, target: dict, new_h: int, new_w: int):
     h, w = img.shape[:2]
     if img.dtype == np.uint8:
-        pil = Image.fromarray(img)
-        img = np.asarray(pil.resize((new_w, new_h), Image.BILINEAR))
+        # Native antialiased bilinear (same algorithm as PIL BILINEAR and
+        # the reference's torchvision antialias=True resize, <= 1 uint8
+        # level apart — tests/test_resize_numerics.py); PIL fallback when
+        # no toolchain.  Resize is ~46% of the augmentation chain.
+        from detr_tpu.data import _native
+
+        nat = _native.resize_bilinear(img, new_h, new_w)
+        if nat is not None:
+            img = nat
+        else:
+            pil = Image.fromarray(img)
+            img = np.asarray(pil.resize((new_w, new_h), Image.BILINEAR))
     else:
         # float images (post-normalize): PIL bilinear per channel, mode "F"
         chans = [
@@ -162,16 +172,36 @@ def _grayscale(img_f: np.ndarray) -> np.ndarray:
     return g[..., None]
 
 
+def _affine_gray_native(img_f, alpha, beta, gamma):
+    """One-pass native clip(alpha*img + beta*gray + gamma) or None."""
+    from detr_tpu.data import _native
+
+    return _native.affine_gray(img_f, alpha, beta, gamma)
+
+
 def adjust_brightness(img_f, factor):
+    out = _affine_gray_native(img_f, factor, 0.0, 0.0)
+    if out is not None:
+        return out
     return np.clip(img_f * factor, 0, 255)
 
 
 def adjust_contrast(img_f, factor):
-    mean = _grayscale(img_f).mean()
+    from detr_tpu.data import _native
+
+    mean = _native.gray_mean(img_f)
+    if mean is None:
+        mean = float(_grayscale(img_f).mean())
+    out = _affine_gray_native(img_f, factor, 0.0, (1.0 - factor) * mean)
+    if out is not None:
+        return out
     return _blend(img_f, np.float32(mean), factor)
 
 
 def adjust_saturation(img_f, factor):
+    out = _affine_gray_native(img_f, factor, 1.0 - factor, 0.0)
+    if out is not None:
+        return out
     return _blend(img_f, _grayscale(img_f), factor)
 
 

@@ -191,6 +191,32 @@ def test_native_image_ops_match_numpy(rng):
     n2 = (u8.astype(np.float32) / 255.0 - T.IMAGENET_MEAN) / T.IMAGENET_STD
     np.testing.assert_allclose(n1, n2, atol=1e-5)
 
+    # fused affine-gray photometric kernels vs the numpy fallbacks
+    for fn, args in (
+        (T.adjust_brightness, (1.11,)),
+        (T.adjust_brightness, (0.9,)),
+        (T.adjust_contrast, (0.75,)),
+        (T.adjust_saturation, (1.18,)),
+    ):
+        a = fn(img, *args)
+        orig = _native._lib
+        try:
+            _native._lib = None
+            b = fn(img, *args)
+        finally:
+            _native._lib = orig
+        np.testing.assert_allclose(a, b, atol=5e-3)
+
+    # native antialiased resize vs PIL BILINEAR (same algorithm; float32
+    # vs PIL's int16 fixed point — within one uint8 level)
+    from PIL import Image
+
+    u8img = (rng.random((123, 217, 3)) * 255).astype(np.uint8)
+    for nh, nw in ((61, 108), (246, 434), (100, 300)):
+        nat = _native.resize_bilinear(u8img, nh, nw)
+        pil = np.asarray(Image.fromarray(u8img).resize((nw, nh), Image.BILINEAR))
+        assert np.abs(nat.astype(np.int16) - pil.astype(np.int16)).max() <= 1
+
 
 def test_pick_bucket():
     buckets = ((832, 1344), (1344, 832), (1056, 1056))
