@@ -30,6 +30,10 @@ def _build() -> Optional[str]:
     # -march=native matters: the resize/normalize kernels are memory/SIMD
     # bound and auto-vectorize (AVX2/AVX-512) only when the ISA is enabled;
     # fall back to portable codegen where the flag is unsupported.
+    # Compile into a per-pid temp file and atomically rename: spawn-pool
+    # workers lazy-build concurrently, and two compilers writing _LIB
+    # directly could interleave into a corrupt library.
+    tmp = f"{_LIB}.{os.getpid()}.tmp"
     for cxx in ("g++", "clang++", "c++"):
         for extra in (
             ["-fopenmp", "-march=native"],
@@ -39,11 +43,12 @@ def _build() -> Optional[str]:
         ):
             try:
                 subprocess.run(
-                    [cxx, "-O3", "-shared", "-fPIC", *extra, "-o", _LIB, _SRC],
+                    [cxx, "-O3", "-shared", "-fPIC", *extra, "-o", tmp, _SRC],
                     check=True,
                     capture_output=True,
                     timeout=120,
                 )
+                os.replace(tmp, _LIB)
                 return _LIB
             except (OSError, subprocess.SubprocessError):
                 continue

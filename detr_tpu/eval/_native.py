@@ -27,14 +27,19 @@ _tried = False
 def _build() -> Optional[str]:
     if os.path.exists(_LIB) and os.path.getmtime(_LIB) >= os.path.getmtime(_SRC):
         return _LIB
+    # Temp-file + atomic rename: concurrent lazy builds (spawn-pool
+    # workers, parallel pytest) writing the output path directly could
+    # interleave into a corrupt library.
+    tmp = f"{_LIB}.{os.getpid()}.tmp"
     for cxx in ("g++", "clang++", "c++"):
         try:
             subprocess.run(
-                [cxx, "-O3", "-shared", "-fPIC", "-o", _LIB, _SRC],
+                [cxx, "-O3", "-shared", "-fPIC", "-o", tmp, _SRC],
                 check=True,
                 capture_output=True,
                 timeout=120,
             )
+            os.replace(tmp, _LIB)
             return _LIB
         except (OSError, subprocess.SubprocessError):
             continue
