@@ -1,110 +1,86 @@
 """ctypes loader for the native image-pipeline kernels (native/image_ops.cc).
 
-Same lazy build-and-cache pattern as detr_tpu/eval/_native.py; degrades to
-``None`` when no C++ toolchain is available — transforms fall back to their
-numpy implementations.
+Build/caching/concurrency live in detr_tpu.utils.native_build (shared with
+detr_tpu/eval/_native.py); degrades to ``None`` when no C++ toolchain is
+available — transforms fall back to their numpy implementations.
 """
 
 from __future__ import annotations
 
 import ctypes
 import os
-import subprocess
-import threading
 from typing import Optional
 
 import numpy as np
 
+from detr_tpu.utils.native_build import NativeLib
+
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 _SRC = os.path.join(_REPO_ROOT, "native", "image_ops.cc")
-_LIB = os.path.join(_REPO_ROOT, "native", "libimage_ops.so")
 
-_lock = threading.Lock()
+
+def _bind(lib: ctypes.CDLL) -> None:
+    lib.hue_rotate_f32.argtypes = [
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_long,
+        ctypes.c_float,
+    ]
+    lib.normalize_u8_f32.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_long,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float),
+    ]
+    lib.resize_bilinear_u8.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int,
+        ctypes.c_int,
+    ]
+    lib.affine_gray_f32.argtypes = [
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_long,
+        ctypes.c_float,
+        ctypes.c_float,
+        ctypes.c_float,
+    ]
+    lib.gray_mean_f32.argtypes = [
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_long,
+    ]
+    lib.gray_mean_f32.restype = ctypes.c_double
+
+
+# -march=native matters: these kernels are memory/SIMD bound and
+# auto-vectorize (AVX2/AVX-512) only when the ISA is enabled; portable
+# fallbacks for toolchains without the flag.  The ISA-keyed cache name
+# (native_build._host_tag) makes the aggressive flag safe to cache.
+_builder = NativeLib(
+    _SRC,
+    (
+        ["-fopenmp", "-march=native"],
+        ["-fopenmp"],
+        ["-march=native"],
+        [],
+    ),
+    _bind,
+)
+
 _lib: Optional[ctypes.CDLL] = None
 _tried = False
 
 
-def _build() -> Optional[str]:
-    if os.path.exists(_LIB) and os.path.getmtime(_LIB) >= os.path.getmtime(_SRC):
-        return _LIB
-    # -march=native matters: the resize/normalize kernels are memory/SIMD
-    # bound and auto-vectorize (AVX2/AVX-512) only when the ISA is enabled;
-    # fall back to portable codegen where the flag is unsupported.
-    # Compile into a per-pid temp file and atomically rename: spawn-pool
-    # workers lazy-build concurrently, and two compilers writing _LIB
-    # directly could interleave into a corrupt library.
-    tmp = f"{_LIB}.{os.getpid()}.tmp"
-    for cxx in ("g++", "clang++", "c++"):
-        for extra in (
-            ["-fopenmp", "-march=native"],
-            ["-fopenmp"],
-            ["-march=native"],
-            [],
-        ):
-            try:
-                subprocess.run(
-                    [cxx, "-O3", "-shared", "-fPIC", *extra, "-o", tmp, _SRC],
-                    check=True,
-                    capture_output=True,
-                    timeout=120,
-                )
-                os.replace(tmp, _LIB)
-                return _LIB
-            except (OSError, subprocess.SubprocessError):
-                continue
-    return None
-
-
 def load() -> Optional[ctypes.CDLL]:
     global _lib, _tried
-    with _lock:
-        if _tried:
-            return _lib
-        _tried = True
-        if not os.path.exists(_SRC):
-            return None
-        path = _build()
-        if path is None:
-            return None
-        try:
-            lib = ctypes.CDLL(path)
-            lib.hue_rotate_f32.argtypes = [
-                ctypes.POINTER(ctypes.c_float),
-                ctypes.c_long,
-                ctypes.c_float,
-            ]
-            lib.normalize_u8_f32.argtypes = [
-                ctypes.POINTER(ctypes.c_uint8),
-                ctypes.POINTER(ctypes.c_float),
-                ctypes.c_long,
-                ctypes.POINTER(ctypes.c_float),
-                ctypes.POINTER(ctypes.c_float),
-            ]
-            lib.resize_bilinear_u8.argtypes = [
-                ctypes.POINTER(ctypes.c_uint8),
-                ctypes.c_int,
-                ctypes.c_int,
-                ctypes.POINTER(ctypes.c_uint8),
-                ctypes.c_int,
-                ctypes.c_int,
-            ]
-            lib.affine_gray_f32.argtypes = [
-                ctypes.POINTER(ctypes.c_float),
-                ctypes.POINTER(ctypes.c_float),
-                ctypes.c_long,
-                ctypes.c_float,
-                ctypes.c_float,
-                ctypes.c_float,
-            ]
-            lib.gray_mean_f32.argtypes = [
-                ctypes.POINTER(ctypes.c_float),
-                ctypes.c_long,
-            ]
-            lib.gray_mean_f32.restype = ctypes.c_double
-            _lib = lib
-        except OSError:
-            _lib = None
-        return _lib
+    if _tried:
+        return _lib  # module global: tests monkeypatch it to force fallbacks
+    _tried = True
+    _lib = _builder.load()
+    return _lib
 
 
 def hue_rotate(img_f: np.ndarray, delta: float) -> Optional[np.ndarray]:

@@ -1,88 +1,60 @@
-"""ctypes loader for the native COCO-eval matching kernel.
+"""ctypes loader for the native COCO-eval kernels (native/cocoeval.cc).
 
-Compiles ``native/cocoeval.cc`` lazily into a shared library (cached next to
-the source) and exposes numpy-friendly wrappers.  Degrades to ``None`` when
-no C++ toolchain is available — the evaluator falls back to its numpy path.
+Build/caching/concurrency live in detr_tpu.utils.native_build (shared with
+detr_tpu/data/_native.py).  Degrades to ``None`` when no C++ toolchain is
+available — the evaluator falls back to its numpy path.
 """
 
 from __future__ import annotations
 
 import ctypes
 import os
-import subprocess
-import threading
 from typing import Optional
 
 import numpy as np
 
+from detr_tpu.utils.native_build import NativeLib
+
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 _SRC = os.path.join(_REPO_ROOT, "native", "cocoeval.cc")
-_LIB = os.path.join(_REPO_ROOT, "native", "libcocoeval.so")
 
-_lock = threading.Lock()
+
+def _bind(lib: ctypes.CDLL) -> None:
+    c_d = ctypes.POINTER(ctypes.c_double)
+    c_u8 = ctypes.POINTER(ctypes.c_uint8)
+    c_i64 = ctypes.POINTER(ctypes.c_int64)
+    lib.iou_matrix.argtypes = [c_d, ctypes.c_int, c_d, ctypes.c_int, c_u8, c_d]
+    lib.iou_matrix.restype = None
+    lib.match_detections.argtypes = [
+        c_d, ctypes.c_int, ctypes.c_int, c_u8, c_u8, c_d, ctypes.c_int, c_u8, c_u8,
+    ]
+    lib.match_detections.restype = None
+    lib.iou_blocks.argtypes = [
+        c_d, c_d, c_u8, c_i64, c_i64, ctypes.c_int, c_d,
+    ]
+    lib.iou_blocks.restype = None
+    lib.evaluate_blocks.argtypes = [
+        c_d, c_i64, c_i64, c_i64, ctypes.c_int,
+        c_u8, c_d, c_d, c_d, ctypes.c_int,
+        c_d, c_d, ctypes.c_int,
+        c_u8, c_u8, c_u8, c_i64,
+    ]
+    lib.evaluate_blocks.restype = ctypes.c_int
+
+
+_builder = NativeLib(_SRC, ([],), _bind)
+
 _lib: Optional[ctypes.CDLL] = None
 _tried = False
 
 
-def _build() -> Optional[str]:
-    if os.path.exists(_LIB) and os.path.getmtime(_LIB) >= os.path.getmtime(_SRC):
-        return _LIB
-    # Temp-file + atomic rename: concurrent lazy builds (spawn-pool
-    # workers, parallel pytest) writing the output path directly could
-    # interleave into a corrupt library.
-    tmp = f"{_LIB}.{os.getpid()}.tmp"
-    for cxx in ("g++", "clang++", "c++"):
-        try:
-            subprocess.run(
-                [cxx, "-O3", "-shared", "-fPIC", "-o", tmp, _SRC],
-                check=True,
-                capture_output=True,
-                timeout=120,
-            )
-            os.replace(tmp, _LIB)
-            return _LIB
-        except (OSError, subprocess.SubprocessError):
-            continue
-    return None
-
-
 def load() -> Optional[ctypes.CDLL]:
     global _lib, _tried
-    with _lock:
-        if _tried:
-            return _lib
-        _tried = True
-        if not os.path.exists(_SRC):
-            return None
-        path = _build()
-        if path is None:
-            return None
-        try:
-            lib = ctypes.CDLL(path)
-        except OSError:
-            return None
-        c_d = ctypes.POINTER(ctypes.c_double)
-        c_u8 = ctypes.POINTER(ctypes.c_uint8)
-        lib.iou_matrix.argtypes = [c_d, ctypes.c_int, c_d, ctypes.c_int, c_u8, c_d]
-        lib.iou_matrix.restype = None
-        lib.match_detections.argtypes = [
-            c_d, ctypes.c_int, ctypes.c_int, c_u8, c_u8, c_d, ctypes.c_int, c_u8, c_u8,
-        ]
-        lib.match_detections.restype = None
-        c_i64 = ctypes.POINTER(ctypes.c_int64)
-        lib.iou_blocks.argtypes = [
-            c_d, c_d, c_u8, c_i64, c_i64, ctypes.c_int, c_d,
-        ]
-        lib.iou_blocks.restype = None
-        lib.evaluate_blocks.argtypes = [
-            c_d, c_i64, c_i64, c_i64, ctypes.c_int,
-            c_u8, c_d, c_d, c_d, ctypes.c_int,
-            c_d, c_d, ctypes.c_int,
-            c_u8, c_u8, c_u8, c_i64,
-        ]
-        lib.evaluate_blocks.restype = ctypes.c_int
-        _lib = lib
-        return _lib
+    if _tried:
+        return _lib  # module global: tests monkeypatch it to force fallbacks
+    _tried = True
+    _lib = _builder.load()
+    return _lib
 
 
 def _ptr_d(a: np.ndarray):

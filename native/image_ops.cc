@@ -199,14 +199,21 @@ void normalize_u8_f32(const uint8_t* img, float* out, long n_px,
 // transforms._grayscale.
 void affine_gray_f32(const float* src, float* dst, long n_px, float alpha,
                      float beta, float gamma) {
+  auto clip = [](float x) {
+    return x < 0.0f ? 0.0f : (x > 255.0f ? 255.0f : x);
+  };
+  if (beta == 0.0f) {
+    // brightness/contrast call sites: skip the gray dot product entirely
+    const long n = n_px * 3;
+#pragma omp parallel for schedule(static)
+    for (long i = 0; i < n; ++i) dst[i] = clip(alpha * src[i] + gamma);
+    return;
+  }
 #pragma omp parallel for schedule(static)
   for (long i = 0; i < n_px; ++i) {
     const float r = src[3 * i], g = src[3 * i + 1], b = src[3 * i + 2];
     const float gray = 0.299f * r + 0.587f * g + 0.114f * b;
     const float base = beta * gray + gamma;
-    auto clip = [](float x) {
-      return x < 0.0f ? 0.0f : (x > 255.0f ? 255.0f : x);
-    };
     dst[3 * i] = clip(alpha * r + base);
     dst[3 * i + 1] = clip(alpha * g + base);
     dst[3 * i + 2] = clip(alpha * b + base);
