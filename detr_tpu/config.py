@@ -166,6 +166,11 @@ class TrainingConfig:
     # Data-parallel mesh size (number of chips along the "data" axis). 0 means
     # "all visible devices".
     num_devices: int = 0
+    # Tensor (model) parallelism: size of the mesh's "model" axis.  >1
+    # shards attention heads and FFN hidden Megatron-style over adjacent
+    # chips (parallel/tp.py); num_attention_heads must divide by it.
+    # Single-process meshes only (DP spans hosts, TP stays within one).
+    model_parallel: int = 1
     # Aspect-ratio buckets as (height, width) pairs the jitted step compiles
     # for; images are padded to the smallest bucket that fits (SURVEY §7.5).
     # The defaults COVER the reference train-augmentation envelope (shortest

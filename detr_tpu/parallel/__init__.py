@@ -14,9 +14,19 @@ from detr_tpu.parallel.mesh import (
     shard_batch,
     shard_state,
 )
+from detr_tpu.parallel.tp import (
+    make_mesh_2d,
+    param_specs,
+    shard_state_tp,
+    validate_tp,
+)
 
 __all__ = [
     "make_mesh",
+    "make_mesh_2d",
+    "param_specs",
+    "shard_state_tp",
+    "validate_tp",
     "batch_sharding",
     "replicate",
     "shard_batch",

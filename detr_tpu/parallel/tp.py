@@ -1,0 +1,168 @@
+"""Tensor (model) parallelism for the DETR transformer — GSPMD style.
+
+TPU-native scale-out beyond data parallelism (SURVEY §2.3; the reference
+has no analog — Accelerate shards only the batch): a 2-D
+``Mesh(("data", "model"))`` where attention/FFN weight matrices are
+sharded Megatron-style over the ``model`` axis and XLA's sharding
+propagation inserts the all-reduces — the model code is untouched.
+
+Column/row split per transformer block:
+
+  * q/k/v projections: kernel (D, D) sharded on the OUTPUT dim
+    ``P(None, "model")`` (bias ``P("model")``) — head-major layout means
+    this shards whole heads, so per-head attention math stays local;
+  * output projection: kernel sharded on the INPUT dim
+    ``P("model", None)`` (bias replicated) — XLA inserts the block's one
+    all-reduce here;
+  * FFN: fc1 column-split, fc2 row-split — same pattern, one all-reduce;
+  * everything else (backbone convs, norms, embeddings, heads) replicated.
+
+``num_attention_heads`` must divide by the model-axis size; asserted in
+``validate_tp``.
+
+Optimizer state is placed by STRUCTURE: optax's mu/nu trees mirror the
+param tree, so any opt-state subtree whose treedef equals the params'
+gets the same PartitionSpecs (scalars and schedule counters replicate).
+
+Used by ``__graft_entry__.dryrun_multichip`` (DP x TP on the virtual mesh)
+and tested for loss/grad parity vs single-device in
+``tests/test_tensor_parallel.py``.  Single-process meshes only for now —
+multi-host runs keep TP within a host (the standard layout) and that
+wiring lands with the multi-host TP loader story.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.tree_util import keystr, tree_flatten_with_path, tree_structure
+
+from detr_tpu.parallel.mesh import DATA_AXIS
+
+MODEL_AXIS = "model"
+
+# (path-substring, kernel spec, bias spec); first match wins.
+_RULES = (
+    # attention input projections: column split (shards whole heads)
+    ("query_proj", P(None, MODEL_AXIS), P(MODEL_AXIS)),
+    ("key_proj", P(None, MODEL_AXIS), P(MODEL_AXIS)),
+    ("value_proj", P(None, MODEL_AXIS), P(MODEL_AXIS)),
+    # attention output projection: row split
+    ("output_proj", P(MODEL_AXIS, None), P()),
+    # FFN: column then row split
+    ("ffn']['fc1", P(None, MODEL_AXIS), P(MODEL_AXIS)),
+    ("ffn']['fc2", P(MODEL_AXIS, None), P()),
+)
+
+
+def make_mesh_2d(
+    num_devices: int = 0, model_parallel: int = 1, devices=None
+) -> Mesh:
+    """(data, model) mesh: the trailing ``model_parallel`` devices of each
+    row are the tensor-parallel group (adjacent devices -> ICI-neighbor
+    collectives on real slices)."""
+    if devices is None:
+        devices = jax.devices()
+    if num_devices and num_devices > 0:
+        devices = devices[:num_devices]
+    n = len(devices)
+    if n % model_parallel:
+        raise ValueError(
+            f"{n} devices not divisible by model_parallel={model_parallel}"
+        )
+    grid = np.asarray(devices).reshape(n // model_parallel, model_parallel)
+    return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+
+
+def validate_tp(detr_config, mesh: Mesh) -> None:
+    tp = mesh.shape.get(MODEL_AXIS, 1)
+    if tp > 1:
+        heads = detr_config.num_attention_heads
+        if heads % tp:
+            raise ValueError(
+                f"num_attention_heads={heads} must divide by the model-axis "
+                f"size {tp} (whole heads are sharded)"
+            )
+        if jax.process_count() > 1:
+            raise NotImplementedError(
+                "tensor parallelism is single-process for now; use DP "
+                "across hosts + TP within a host"
+            )
+
+
+def param_specs(params) -> Any:
+    """PartitionSpec tree matching ``params`` (replicated where no rule)."""
+    flat, treedef = tree_flatten_with_path(params)
+    specs = []
+    for path, leaf in flat:
+        s = keystr(path)
+        spec = P()
+        for needle, kspec, bspec in _RULES:
+            if needle in s:
+                if s.endswith("['kernel']"):
+                    spec = kspec
+                elif s.endswith("['bias']"):
+                    spec = bspec
+                break
+        specs.append(spec)
+    return jax.tree_util.tree_unflatten(treedef, specs)
+
+
+def _place_tree(tree, specs, mesh: Mesh):
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), tree, specs
+    )
+
+
+def _place_opt_state(node, params_treedef, specs, mesh: Mesh):
+    """Recursively place an optax state: any subtree structurally identical
+    to the param tree gets the param specs; other leaves replicate."""
+    try:
+        if tree_structure(node) == params_treedef:
+            return _place_tree(node, specs, mesh)
+    except Exception:  # unhashable/exotic nodes: fall through to recursion
+        pass
+    if isinstance(node, tuple) and hasattr(node, "_fields"):  # NamedTuple
+        return type(node)(
+            *(
+                _place_opt_state(c, params_treedef, specs, mesh)
+                for c in node
+            )
+        )
+    if isinstance(node, tuple):
+        return tuple(
+            _place_opt_state(c, params_treedef, specs, mesh) for c in node
+        )
+    if isinstance(node, list):
+        return [
+            _place_opt_state(c, params_treedef, specs, mesh) for c in node
+        ]
+    if isinstance(node, dict):
+        return {
+            k: _place_opt_state(v, params_treedef, specs, mesh)
+            for k, v in node.items()
+        }
+    if node is None or isinstance(node, (int, float, bool, str)):
+        return node
+    # array leaf (opt counters, schedule state): replicate
+    return jax.device_put(node, NamedSharding(mesh, P()))
+
+
+def shard_state_tp(state, mesh: Mesh):
+    """Places a TrainState on a (data, model) mesh: params/opt-state
+    sharded per the Megatron rules, frozen stats and RNG replicated."""
+    specs = param_specs(state.params)
+    pdef = tree_structure(state.params)
+    rep = NamedSharding(mesh, P())
+    return state.replace(
+        params=_place_tree(state.params, specs, mesh),
+        frozen=jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, rep), state.frozen
+        ),
+        opt_state=_place_opt_state(state.opt_state, pdef, specs, mesh),
+        step=jax.device_put(state.step, rep),
+        rng=jax.device_put(state.rng, rep),
+    )

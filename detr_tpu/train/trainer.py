@@ -149,7 +149,15 @@ def train_DETR(
     watchdog = Watchdog(config.watchdog_secs)
     initialize_distributed()
     os.makedirs(config.output_dir, exist_ok=True)
-    mesh = make_mesh(config.num_devices)
+    if config.model_parallel > 1:
+        # (data, model) mesh: Megatron-style TP over the model axis
+        # (parallel/tp.py); DP rides the data axis as before.
+        from detr_tpu.parallel.tp import make_mesh_2d, validate_tp
+
+        mesh = make_mesh_2d(config.num_devices, config.model_parallel)
+        validate_tp(detr_config, mesh)
+    else:
+        mesh = make_mesh(config.num_devices)
     watchdog.beat()
     tracker = MetricLogger(
         os.path.join(config.output_dir, "logs") if is_primary() else None
@@ -255,7 +263,12 @@ def train_DETR(
             first_epoch,
         )
 
-    state = shard_state(state, mesh)
+    if config.model_parallel > 1:
+        from detr_tpu.parallel.tp import shard_state_tp
+
+        state = shard_state_tp(state, mesh)
+    else:
+        state = shard_state(state, mesh)
     train_step = make_train_step(model, criterion, donate=config.donate_state)
     eval_step = make_eval_step(model, criterion)
 
@@ -475,12 +488,18 @@ def run_validation(
             wait_while_paused(watchdog)
         pad = int(batch.get("pad_count", 0))
         if mesh is not None:
-            # Pad the eval batch up to a mesh multiple (repeating the last
-            # item, excluded from loss/metrics via image_valid/pad like the
-            # loader's own tail padding) so eval ALWAYS runs data-parallel —
-            # a val_batch_size that isn't a mesh multiple must not silently
-            # degrade to single-device (round-2 verdict weak #3).
-            batch, pad = _pad_batch_to_multiple(batch, pad, mesh.size)
+            # Pad the eval batch up to a DATA-axis multiple (repeating the
+            # last item, excluded from loss/metrics via image_valid/pad
+            # like the loader's own tail padding) so eval ALWAYS runs
+            # data-parallel — a val_batch_size that isn't a multiple must
+            # not silently degrade to single-device (round-2 verdict weak
+            # #3).  Only the data axis counts: under tensor parallelism
+            # the batch is replicated over the model axis.
+            from detr_tpu.parallel.mesh import DATA_AXIS
+
+            batch, pad = _pad_batch_to_multiple(
+                batch, pad, mesh.shape[DATA_AXIS]
+            )
         host_batch = batch
         if jax.process_count() > 1:
             # Multi-process eval: every process iterates the FULL val set
@@ -610,6 +629,11 @@ def get_args() -> argparse.Namespace:
     parser.add_argument("--backbone", type=str, default="resnet50")
     parser.add_argument("--num-devices", type=int, default=0)
     parser.add_argument(
+        "--model-parallel", type=int, default=1,
+        help="mesh model-axis size: shards attention heads + FFN hidden "
+        "Megatron-style (parallel/tp.py); heads must divide by it",
+    )
+    parser.add_argument(
         "--synthetic", action="store_true", help="train on synthetic data (smoke)"
     )
     parser.add_argument(
@@ -674,6 +698,7 @@ def main() -> int:
         resume_from_checkpoint=args.resume_from_checkpoint,
         eval_epochs=args.eval_epochs,
         num_devices=args.num_devices,
+        model_parallel=args.model_parallel,
     )
     if args.shape_buckets:
         config = config.replace(
