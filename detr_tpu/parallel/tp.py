@@ -20,9 +20,11 @@ Column/row split per transformer block:
 ``num_attention_heads`` must divide by the model-axis size; asserted in
 ``validate_tp``.
 
-Optimizer state is placed by STRUCTURE: optax's mu/nu trees mirror the
-param tree, so any opt-state subtree whose treedef equals the params'
-gets the same PartitionSpecs (scalars and schedule counters replicate).
+Optimizer state is placed by PATH SUFFIX: mirrored trees inside the
+optimizer (mu/nu, MultiSteps acc_grads) end their tree paths with the
+param's own path, so those leaves inherit the param's spec even where
+``optax.multi_transform`` masking changes the treedef (scalars and
+schedule counters replicate).
 
 Used by ``__graft_entry__.dryrun_multichip`` (DP x TP on the virtual mesh)
 and tested for loss/grad parity vs single-device in
@@ -38,7 +40,7 @@ from typing import Any
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.tree_util import keystr, tree_flatten_with_path, tree_structure
+from jax.tree_util import keystr, tree_flatten_with_path
 
 from detr_tpu.parallel.mesh import DATA_AXIS
 
@@ -117,52 +119,48 @@ def _place_tree(tree, specs, mesh: Mesh):
     )
 
 
-def _place_opt_state(node, params_treedef, specs, mesh: Mesh):
-    """Recursively place an optax state: any subtree structurally identical
-    to the param tree gets the param specs; other leaves replicate."""
-    try:
-        if tree_structure(node) == params_treedef:
-            return _place_tree(node, specs, mesh)
-    except Exception:  # unhashable/exotic nodes: fall through to recursion
-        pass
-    if isinstance(node, tuple) and hasattr(node, "_fields"):  # NamedTuple
-        return type(node)(
-            *(
-                _place_opt_state(c, params_treedef, specs, mesh)
-                for c in node
-            )
-        )
-    if isinstance(node, tuple):
-        return tuple(
-            _place_opt_state(c, params_treedef, specs, mesh) for c in node
-        )
-    if isinstance(node, list):
-        return [
-            _place_opt_state(c, params_treedef, specs, mesh) for c in node
-        ]
-    if isinstance(node, dict):
-        return {
-            k: _place_opt_state(v, params_treedef, specs, mesh)
-            for k, v in node.items()
-        }
-    if node is None or isinstance(node, (int, float, bool, str)):
-        return node
-    # array leaf (opt counters, schedule state): replicate
-    return jax.device_put(node, NamedSharding(mesh, P()))
+def _place_opt_state(opt_state, params, specs, mesh: Mesh):
+    """Place an optax state tree: any array leaf whose tree path ENDS with
+    a sharded param's path (same shape) gets that param's spec; everything
+    else replicates.
+
+    Suffix matching, not structure matching: mirrored trees inside the
+    optimizer (mu/nu, acc_grads) carry the param path verbatim at the end
+    of their own path, but their treedefs differ from the params' whenever
+    ``optax.multi_transform`` masks the other group's leaves out — a
+    structure-matched walk silently replicated every mu/nu (measured:
+    303/330 leaves replicated)."""
+    suffixes = []
+    pflat, _ = tree_flatten_with_path(params)
+    sflat, _ = tree_flatten_with_path(specs)
+    for (pk, pl), (_, spec) in zip(pflat, sflat):
+        if spec != P():
+            suffixes.append((keystr(pk), pl.shape, spec))
+    rep = NamedSharding(mesh, P())
+
+    def place(path, leaf):
+        if not hasattr(leaf, "shape"):
+            return leaf
+        s = keystr(path)
+        for suffix, shape, spec in suffixes:
+            if s.endswith(suffix) and leaf.shape == shape:
+                return jax.device_put(leaf, NamedSharding(mesh, spec))
+        return jax.device_put(leaf, rep)
+
+    return jax.tree_util.tree_map_with_path(place, opt_state)
 
 
 def shard_state_tp(state, mesh: Mesh):
     """Places a TrainState on a (data, model) mesh: params/opt-state
     sharded per the Megatron rules, frozen stats and RNG replicated."""
     specs = param_specs(state.params)
-    pdef = tree_structure(state.params)
     rep = NamedSharding(mesh, P())
     return state.replace(
         params=_place_tree(state.params, specs, mesh),
         frozen=jax.tree_util.tree_map(
             lambda x: jax.device_put(x, rep), state.frozen
         ),
-        opt_state=_place_opt_state(state.opt_state, pdef, specs, mesh),
+        opt_state=_place_opt_state(state.opt_state, state.params, specs, mesh),
         step=jax.device_put(state.step, rep),
         rng=jax.device_put(state.rng, rep),
     )

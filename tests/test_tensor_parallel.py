@@ -116,6 +116,40 @@ def test_tp_train_step_matches_single_device():
     assert qk2.sharding.spec == P(None, "model")
 
 
+def test_tp_opt_state_shards_mu_under_multi_transform_and_accum():
+    """mu/nu live inside optax.multi_transform's masked groups (different
+    treedef from params) and under MultiSteps when accumulating; the
+    suffix-matched placement must still shard them — a replicated mu would
+    silently cost TP's optimizer-memory saving and add per-step gathers."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from jax.tree_util import keystr, tree_flatten_with_path
+
+    detr_config = DETRConfig(**TINY)
+    train_config = TrainingConfig(
+        cumulative_train_batch_size=8, train_batch_size=4  # accumulation 2
+    )
+    model = DETR(detr_config)
+    tx, _ = build_optimizer(train_config)
+    batch = synthetic_batch(np.random.default_rng(0), 4, height=64, width=64)
+    state = create_train_state(
+        model, tx, jax.random.PRNGKey(0),
+        {k: jnp.asarray(v) for k, v in batch.items()},
+    )
+    mesh = make_mesh_2d(8, model_parallel=2)
+    ts = shard_state_tp(state, mesh)
+    found = {"mu": False, "nu": False, "acc_grads": False}
+    for path, leaf in tree_flatten_with_path(ts.opt_state)[0]:
+        s = keystr(path)
+        if "query_proj']['kernel" not in s or not hasattr(leaf, "sharding"):
+            continue
+        for kind in found:
+            if f".{kind}[" in s or f"{kind}[" in s.split(".")[-1]:
+                assert leaf.sharding.spec == P(None, "model"), s
+                found[kind] = True
+    assert all(found.values()), f"opt-state mirrors not all found: {found}"
+
+
 def test_tp_validation_errors():
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 virtual devices")
