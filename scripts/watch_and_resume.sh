@@ -34,6 +34,17 @@ timeout 1500 python scripts/profile_step.py --config dc5 --steps 6 --top 30 \
   > /tmp/profile_dc5.txt 2>/tmp/profile_dc5.err
 echo "$(date -u +%H:%M:%S) dc5 profile done (exit $?)"
 
+# The proof dataset is gitignored (datasets/): a VM reset wipes it while
+# the repo survives.  Regenerating is deterministic (fixed seeds), so a
+# fresh copy is bit-identical to the wiped one — but checkpoints die with
+# it, so a post-reset relaunch restarts the curve from epoch 0.
+if [ ! -f datasets/synth3k_dense/train/labels.json ] \
+   || [ ! -f datasets/synth3k_dense/validation/labels.json ]; then
+  echo "$(date -u +%H:%M:%S) proof dataset missing (VM reset?) — regenerating"
+  python -m detr_tpu.data.make_synthetic_coco --root datasets/synth3k_dense \
+    --train 3000 --val 500 --boxes 8 16 --max-overlap 0.3
+fi
+
 # --shape-buckets pins the run to the buckets its epochs 0-2 trained and
 # benched with: one AP curve at one resolution (no mid-run confound), and
 # a memory envelope the chip has already demonstrated it fits (the new
@@ -44,7 +55,7 @@ MAX_RESTARTS=40 nohup bash scripts/train_with_retry.sh \
   --coco-dataset-root datasets/synth3k_dense \
   --output-dir runs/proof_r3b \
   --train-batch-size 8 --cumulative-train-batch-size 16 \
-  --val-batch-size 16 --epochs 50 --eval-epochs 5 \
+  --val-batch-size 16 --epochs 120 --eval-epochs 5 \
   --shape-buckets 768x768,512x1024,1024x512 \
   >> runs/proof_r3b.log 2>&1 &
 echo $! > /tmp/proof.pid
