@@ -357,6 +357,11 @@ def main_e2e() -> None:
                 "unit": "img/s",
                 "vs_baseline": round(img_per_s / BASELINE_IMG_PER_S, 3),
                 "batch_size": batch_size,
+                # Sustained e2e is host-augmentation-bound; the reference's
+                # 34 img/s baseline ran its DataLoader on a many-core
+                # workstation.  Record this host's core count so the number
+                # reads in context (PARITY.md "Host input pipeline").
+                "host_cpus": os.cpu_count(),
             }
         )
     )

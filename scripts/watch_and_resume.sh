@@ -22,17 +22,29 @@ while true; do
 done
 echo "$(date -u +%H:%M:%S) tunnel BACK — collecting checks"
 
-bash scripts/collect_checks.sh 03 > /tmp/checks_r03.log 2>&1
-echo "$(date -u +%H:%M:%S) checks done (exit $?)"
+# Idempotence: a committed CHECKS file with no FAILED rows is the round's
+# final artifact — re-collecting would overwrite curated green rows with a
+# fresh (interruptible) run.  Only collect when rows are missing or failed.
+if [ ! -s CHECKS_r03.json ] || grep -q FAILED CHECKS_r03.json; then
+  bash scripts/collect_checks.sh 03 > /tmp/checks_r03.log 2>&1
+  echo "$(date -u +%H:%M:%S) checks done (exit $?)"
+else
+  echo "$(date -u +%H:%M:%S) CHECKS_r03.json already green — skipping collection"
+fi
 
 # Per-op step breakdowns (round-2 verdict weak #1: attribute the R50
-# residual, give DC5 its own table) — bounded like the checks.
-timeout 1500 python scripts/profile_step.py --config r50 --steps 10 --top 40 \
-  > /tmp/profile_r50.txt 2>/tmp/profile_r50.err
-echo "$(date -u +%H:%M:%S) r50 profile done (exit $?)"
-timeout 1500 python scripts/profile_step.py --config dc5 --steps 6 --top 30 \
-  > /tmp/profile_dc5.txt 2>/tmp/profile_dc5.err
-echo "$(date -u +%H:%M:%S) dc5 profile done (exit $?)"
+# residual, give DC5 its own table) — bounded like the checks; skipped
+# once the committed artifacts exist (chip time goes to the proof run).
+if [ ! -s profiles/profile_r50_r03.txt ]; then
+  timeout 1500 python scripts/profile_step.py --config r50 --steps 10 --top 40 \
+    > /tmp/profile_r50.txt 2>/tmp/profile_r50.err
+  echo "$(date -u +%H:%M:%S) r50 profile done (exit $?)"
+fi
+if [ ! -s profiles/profile_dc5_r03.txt ]; then
+  timeout 1500 python scripts/profile_step.py --config dc5 --steps 6 --top 30 \
+    > /tmp/profile_dc5.txt 2>/tmp/profile_dc5.err
+  echo "$(date -u +%H:%M:%S) dc5 profile done (exit $?)"
+fi
 
 # The proof dataset is gitignored (datasets/): a VM reset wipes it while
 # the repo survives.  Regenerating is deterministic (fixed seeds), so a
@@ -51,15 +63,21 @@ fi
 # envelope-covering DEFAULTS are ~1.75x the pixels — they get their
 # on-chip exercise from `bench.py --e2e` in the checks collection above,
 # bounded and FAILED-annotated, not from a 40-restart training loop).
-MAX_RESTARTS=40 nohup bash scripts/train_with_retry.sh \
-  --coco-dataset-root datasets/synth3k_dense \
-  --output-dir runs/proof_r3b \
-  --train-batch-size 8 --cumulative-train-batch-size 16 \
-  --val-batch-size 16 --epochs 120 --eval-epochs 5 \
-  --shape-buckets 768x768,512x1024,1024x512 \
-  >> runs/proof_r3b.log 2>&1 &
-echo $! > /tmp/proof.pid
-echo "$(date -u +%H:%M:%S) proof run relaunched, pid $(cat /tmp/proof.pid)"
+# Don't double-launch: a live proof run (this or a builder session's)
+# owns the chip and the output dir.
+if [ -f /tmp/proof.pid ] && kill -0 "$(cat /tmp/proof.pid)" 2>/dev/null; then
+  echo "$(date -u +%H:%M:%S) proof run already live (pid $(cat /tmp/proof.pid)) — not relaunching"
+else
+  MAX_RESTARTS=40 nohup bash scripts/train_with_retry.sh \
+    --coco-dataset-root datasets/synth3k_dense \
+    --output-dir runs/proof_r3b \
+    --train-batch-size 8 --cumulative-train-batch-size 16 \
+    --val-batch-size 16 --epochs 120 --eval-epochs 5 \
+    --shape-buckets 768x768,512x1024,1024x512 \
+    >> runs/proof_r3b.log 2>&1 &
+  echo $! > /tmp/proof.pid
+  echo "$(date -u +%H:%M:%S) proof run relaunched, pid $(cat /tmp/proof.pid)"
+fi
 
 # Keep the PARITY learning-proof table auto-refreshing alongside the run
 # (the harvest loop dies with builder sessions; respawn it here so the AP
