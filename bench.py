@@ -434,19 +434,32 @@ def main_eval_scale() -> None:
         (eval_step, state), loader, class_names, limit_val_iters=6, mesh=mesh
     )
 
+    # The timed pass is host-transform-bound on small hosts: each image
+    # pays a single-threaded decode + 800/1333 resize before the chip sees
+    # it (~0.3-0.4 s/img on a 1-core box → a full 5k pass alone outlives
+    # the bench watchdog).  BENCH_EVAL_SCALE_N bounds the measured subset;
+    # img/s is the honest sustained rate either way, and the JSON records
+    # images + host_cpus so the number reads in context.
+    n_limit = int(os.environ.get("BENCH_EVAL_SCALE_N", "0"))
+    limit_iters = (n_limit + batch_size - 1) // batch_size if n_limit else 0
     t0 = time.perf_counter()
-    metrics = run_validation((eval_step, state), loader, class_names, mesh=mesh)
+    metrics = run_validation(
+        (eval_step, state), loader, class_names,
+        limit_val_iters=limit_iters, mesh=mesh,
+    )
     dt = time.perf_counter() - t0
-    n = len(dataset)
+    n = min(len(dataset), limit_iters * batch_size) if limit_iters else len(dataset)
     print(
         json.dumps(
             {
-                "metric": "eval_images_per_sec_5k",
+                "metric": "eval_scale_images_per_sec",
                 "value": round(n / dt, 2),
                 "unit": "img/s",
                 "vs_baseline": 1.0,
                 "wall_clock_s": round(dt, 1),
                 "images": n,
+                "dataset_images": len(dataset),
+                "host_cpus": os.cpu_count(),
                 "AP": round(float(metrics.get("AP", 0.0)), 4),
             }
         )

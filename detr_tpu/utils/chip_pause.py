@@ -36,12 +36,24 @@ FRESH_SECS = 3600.0
 
 
 def pause_requested(path: Optional[str] = None) -> bool:
-    """True when a fresh pause file exists."""
+    """True when a fresh pause file exists — held by ANOTHER process.
+
+    A pause this process itself holds is ignored: ``bench.py --eval-scale``
+    runs the production ``run_validation`` (which honors the flag at each
+    batch) INSIDE its own ``request_chip_pause`` block — honoring one's own
+    flag self-deadlocked the benchmark until its watchdog fired (the
+    round-3 "wedged transport?" eval-scale failures were exactly this, not
+    the tunnel).  The holder's pid is in the file for this purpose.
+    """
     path = path or PAUSE_FILE
     try:
+        with open(path) as f:
+            holder = f.read().strip()
         age = time.time() - os.stat(path).st_mtime
     except OSError:
         return False
+    if holder == str(os.getpid()):
+        return False  # our own pause — honoring it would self-deadlock
     return age <= FRESH_SECS  # negative age (future mtime) is honored too
 
 

@@ -12,10 +12,23 @@ def test_request_and_release(tmp_path):
     path = str(tmp_path / "pause")
     assert not cp.pause_requested(path)
     with cp.request_chip_pause(path):
-        assert cp.pause_requested(path)
+        # Held and visible to OTHER processes (file exists, fresh, our pid
+        # recorded) — but NOT to ourselves: bench.py --eval-scale runs
+        # run_validation (which polls the flag) inside its own pause;
+        # honoring one's own flag self-deadlocks until the watchdog fires.
+        assert os.path.exists(path)
         assert open(path).read() == str(os.getpid())
+        assert not cp.pause_requested(path)  # self-hold regression
     assert not cp.pause_requested(path)
     assert not os.path.exists(path)
+
+
+def test_other_process_pause_is_honored(tmp_path):
+    """A flag written by a DIFFERENT pid (any other holder) still pauses."""
+    path = str(tmp_path / "pause")
+    with open(path, "w") as f:
+        f.write(str(os.getpid() + 1))
+    assert cp.pause_requested(path)
 
 
 def test_stale_file_ignored(tmp_path):
