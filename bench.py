@@ -685,6 +685,10 @@ def main() -> None:
 
     img_per_s = batch_size * K / dt
     suffix = "" if cfg in ("r50", "eval640") else f"_{cfg}"
+    if "--xla-attention" in sys.argv:
+        # The A/B row must not collide with the headline's metric name —
+        # two identical keys in CHECKS_r*.json are ambiguous to a reader.
+        suffix += "_xla_attention"
     stem = "eval_fwd_match_loss_640" if cfg == "eval640" else "train"
     # BASELINE_IMG_PER_S is the reference's full train step (fwd+bwd+
     # optimizer+DataLoader); eval640 is forward+match+loss only, so a ratio
