@@ -83,13 +83,38 @@ class CheckpointManager:
     def restore_params_only(self, state: Any, step: Optional[int] = None) -> Any:
         """Weights-only resume (reference detr/train.py:222-236): params (and
 
-        frozen stats) from the checkpoint, optimizer state left fresh."""
+        frozen stats) from the checkpoint, optimizer state left fresh.
+
+        Accepts BOTH layouts: a full train-state checkpoint (params +
+        opt_state + step + rng) and a distilled weights-only artifact
+        holding just {params, frozen} (scripts/export_weights.py) — the
+        latter is ~4x smaller (no Adam moments / accumulators), small
+        enough to commit as a portable training-curve seed."""
         step = self.latest_step() if step is None else step
         if step is None:
             raise FileNotFoundError(f"no checkpoint under {self.directory}")
         template = self._payload(state)
-        restored = self._mgr.restore(step, args=ocp.args.StandardRestore(template))
+        try:
+            restored = self._mgr.restore(
+                step, args=ocp.args.StandardRestore(template)
+            )
+        except (ValueError, KeyError, TypeError):
+            # Structure mismatch: weights-only artifact.
+            restored = self._mgr.restore(
+                step,
+                args=ocp.args.StandardRestore(
+                    {"params": state.params, "frozen": state.frozen}
+                ),
+            )
         return state.replace(params=restored["params"], frozen=restored["frozen"])
+
+    def save_params_only(self, step: int, params: Any, frozen: Any) -> None:
+        """Write a distilled {params, frozen} artifact (see above)."""
+        self._mgr.save(
+            step,
+            args=ocp.args.StandardSave({"params": params, "frozen": frozen}),
+        )
+        self._mgr.wait_until_finished()
 
     def close(self):
         self._mgr.close()

@@ -250,11 +250,20 @@ def train_DETR(
     #     auto-restore (crash/elastic recovery, SURVEY §5: params, optimizer,
     #     step, RNG, epoch — the reference loses optimizer state here).
     first_epoch = config.start_epoch
-    if config.resume_from_checkpoint:
+    if config.resume_from_checkpoint and ckpt.latest_step() is None:
         src = CheckpointManager(config.resume_from_checkpoint)
         state = src.restore_params_only(state)
         logger.info("loaded model weights from %s", config.resume_from_checkpoint)
     elif ckpt.latest_step() is not None:
+        if config.resume_from_checkpoint:
+            # A crash-relaunch re-passes the original CLI (retry wrapper):
+            # the run's OWN checkpoints are strictly newer than the seed —
+            # reloading the seed here would silently roll training back.
+            logger.info(
+                "ignoring --resume-from-checkpoint %s: output dir has its "
+                "own (newer) checkpoints — auto-restoring those instead",
+                config.resume_from_checkpoint,
+            )
         state, extra = ckpt.restore(state)
         first_epoch = int(extra.get("epoch", -1)) + 1
         logger.info(

@@ -68,12 +68,24 @@ fi
 if [ -f /tmp/proof.pid ] && kill -0 "$(cat /tmp/proof.pid)" 2>/dev/null; then
   echo "$(date -u +%H:%M:%S) proof run already live (pid $(cat /tmp/proof.pid)) — not relaunching"
 else
+  # Committed weights seed (scripts/export_weights.py): when the run dir
+  # has no checkpoints (VM reset wiped runs/) but the repo carries a
+  # distilled {params, frozen} artifact, resume the CURVE via the
+  # weights-only path + LR fast-forward instead of restarting at epoch 0.
+  SEED_ARGS=()
+  if [ ! -d runs/proof_r3b/checkpoints ] \
+     && [ -f artifacts/proof_weights/EPOCH ]; then
+    SEED_ARGS=(--resume-from-checkpoint artifacts/proof_weights
+               --start-epoch "$(cat artifacts/proof_weights/EPOCH)")
+    echo "$(date -u +%H:%M:%S) seeding from committed weights (epoch $(cat artifacts/proof_weights/EPOCH))"
+  fi
   MAX_RESTARTS=40 nohup bash scripts/train_with_retry.sh \
     --coco-dataset-root datasets/synth3k_dense \
     --output-dir runs/proof_r3b \
     --train-batch-size 8 --cumulative-train-batch-size 16 \
     --val-batch-size 16 --epochs 120 --eval-epochs 5 \
     --shape-buckets 768x768,512x1024,1024x512 \
+    "${SEED_ARGS[@]}" \
     >> runs/proof_r3b.log 2>&1 &
   echo $! > /tmp/proof.pid
   echo "$(date -u +%H:%M:%S) proof run relaunched, pid $(cat /tmp/proof.pid)"

@@ -121,6 +121,26 @@ def test_checkpoint_roundtrip(tmp_path):
         np.asarray(jax.tree_util.tree_leaves(w_only.params)[0]),
         np.asarray(jax.tree_util.tree_leaves(state.params)[0]),
     )
+
+    # Distilled {params, frozen} artifact (scripts/export_weights.py):
+    # export from the full checkpoint, then weights-only resume from the
+    # artifact — the committed-seed path that survives VM resets.
+    payload = mgr.restore_payload(0)
+    dst = CheckpointManager(str(tmp_path / "weights"), max_to_keep=1)
+    dst.save_params_only(0, payload["params"], payload["frozen"])
+    from_artifact = dst.restore_params_only(zeroed)
+    assert int(from_artifact.step) == 0  # optimizer/step stay fresh
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state.params),
+        jax.tree_util.tree_leaves(from_artifact.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state.frozen),
+        jax.tree_util.tree_leaves(from_artifact.frozen),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    dst.close()
     mgr.close()
 
 
