@@ -33,17 +33,21 @@ else
 fi
 
 # Per-op step breakdowns (round-2 verdict weak #1: attribute the R50
-# residual, give DC5 its own table) — bounded like the checks; skipped
-# once the committed artifacts exist (chip time goes to the proof run).
-if [ ! -s profiles/profile_r50_r03.txt ]; then
-  timeout 1500 python scripts/profile_step.py --config r50 --steps 10 --top 40 \
-    > /tmp/profile_r50.txt 2>/tmp/profile_r50.err
-  echo "$(date -u +%H:%M:%S) r50 profile done (exit $?)"
-fi
-if [ ! -s profiles/profile_dc5_r03.txt ]; then
-  timeout 1500 python scripts/profile_step.py --config dc5 --steps 6 --top 30 \
-    > /tmp/profile_dc5.txt 2>/tmp/profile_dc5.err
-  echo "$(date -u +%H:%M:%S) dc5 profile done (exit $?)"
+# residual, give DC5 its own table) — opt-in only (PROFILE=1): the raw
+# dumps were lost to a VM reset and PARITY's live-measured step-breakdown
+# table stands, so by default all post-reset chip time goes straight to
+# resuming the proof run instead of ~50 bounded minutes of re-profiling.
+if [ "${PROFILE:-0}" = "1" ]; then
+  if [ ! -s profiles/profile_r50_r03.txt ]; then
+    timeout 1500 python scripts/profile_step.py --config r50 --steps 10 --top 40 \
+      > /tmp/profile_r50.txt 2>/tmp/profile_r50.err
+    echo "$(date -u +%H:%M:%S) r50 profile done (exit $?)"
+  fi
+  if [ ! -s profiles/profile_dc5_r03.txt ]; then
+    timeout 1500 python scripts/profile_step.py --config dc5 --steps 6 --top 30 \
+      > /tmp/profile_dc5.txt 2>/tmp/profile_dc5.err
+    echo "$(date -u +%H:%M:%S) dc5 profile done (exit $?)"
+  fi
 fi
 
 # The proof dataset is gitignored (datasets/): a VM reset wipes it while
@@ -97,6 +101,13 @@ fi
 if ! pgrep -x -f "bash scripts/harvest_loop.sh" >/dev/null 2>&1; then
   nohup bash scripts/harvest_loop.sh > /tmp/harvest_loop.log 2>&1 &
   echo "$(date -u +%H:%M:%S) harvest loop respawned, pid $!"
+fi
+
+# Keep the committed weights seed tracking the run (scripts/seed_loop.sh)
+# so the curve survives the NEXT reset too.
+if ! pgrep -x -f "bash scripts/seed_loop.sh" >/dev/null 2>&1; then
+  nohup bash scripts/seed_loop.sh > /tmp/seed_loop.log 2>&1 &
+  echo "$(date -u +%H:%M:%S) seed loop respawned, pid $!"
 fi
 
 # Persist the perishable on-TPU artifacts into the repo the moment they
