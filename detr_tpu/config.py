@@ -216,6 +216,15 @@ class TrainingConfig:
     # longest legitimate gap — a cold-cache XLA compile of the fused step
     # through the relay (~13 min observed).  0 disables.
     watchdog_secs: float = 1200.0
+    # Host-RSS self-restart threshold (GB).  Defense in depth behind the
+    # journal-compaction fix (detr_tpu/__init__.py): if ANY host-side
+    # retention regresses, the trainer exits WEDGED_EXIT_CODE=42 at the
+    # next epoch boundary past the limit (checkpointed — zero lost work)
+    # or immediately at 1.25x the limit (auto-restore loses at most the
+    # current epoch), instead of growing until the kernel OOM-kills it at
+    # exit 137 — the one long-run failure the round-3 flagship run died
+    # to.  0 disables.
+    host_rss_limit_gb: float = 64.0
 
     @property
     def gradient_accumulation_steps(self) -> int:

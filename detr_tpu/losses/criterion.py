@@ -139,7 +139,80 @@ class SetCriterion:
         losses["class_error"] = self._class_error(
             logits[:, -1], qog[:, -1], class_idx, gt_valid, axis_name
         )
+        losses.update(
+            self._liftoff_diagnostics(
+                logits[:, -1], boxes[:, -1], qog[:, -1],
+                class_idx, gt_boxes, gt_valid, image_valid, axis_name,
+            )
+        )
         return losses
+
+    def _liftoff_diagnostics(
+        self, logits, boxes, qog, class_idx, gt_boxes, gt_valid,
+        image_valid, axis_name=None,
+    ) -> dict[str, Array]:
+        """Last-layer ``diag_*`` curves (NOT summed into the loss: keys
+        don't start with "loss") that separate "classifier collapsed to
+        no-object, liftoff pending" from "can never lift off" — the
+        distinction the round-3 AP-0.000 postmortem lacked.  No reference
+        analog (detr/loss.py logs only the aggregate CE):
+
+          * diag_matched_ce / diag_noobj_ce — unweighted mean NLL over
+            matched queries vs no-object-target queries.  Collapse =
+            matched CE stuck near -log(softmax at uniform) while no-object
+            CE ~ 0; liftoff = matched CE falling.
+          * diag_nonbg_frac — fraction of queries whose argmax is a real
+            class.  0.0 forever = collapsed classifier; should approach
+            (mean GT count)/Q as detection starts.
+          * diag_matched_giou — mean GIoU of matched pairs.  Rising GIoU
+            with AP still 0 = boxes learn but classification gates AP;
+            flat ~0 = the box path is the problem.
+        """
+
+        def _greduce(x):
+            return jax.lax.psum(x, axis_name) if axis_name is not None else x
+
+        B, Q, C1 = logits.shape
+        G = class_idx.shape[-1]
+        no_object = self.num_classes
+        # Matched-query map (same scatter as _layer_losses).
+        target_classes = jnp.full((B, Q), no_object, jnp.int32)
+        scatter_q = jnp.where(gt_valid & (qog >= 0), qog, Q)
+        batch_arange = jnp.arange(B)[:, None]
+        target_classes = target_classes.at[
+            jnp.broadcast_to(batch_arange, (B, G)), scatter_q
+        ].set(class_idx, mode="drop")
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(logp, target_classes[..., None], axis=-1)[..., 0]
+        img_w = image_valid[:, None].astype(jnp.float32)
+        matched_q = (target_classes != no_object).astype(jnp.float32) * img_w
+        noobj_q = (target_classes == no_object).astype(jnp.float32) * img_w
+        matched_ce = _greduce(jnp.sum(matched_q * nll)) / jnp.maximum(
+            _greduce(jnp.sum(matched_q)), 1.0
+        )
+        noobj_ce = _greduce(jnp.sum(noobj_q * nll)) / jnp.maximum(
+            _greduce(jnp.sum(noobj_q)), 1.0
+        )
+        nonbg = (jnp.argmax(logits, axis=-1) != no_object).astype(jnp.float32)
+        nonbg_frac = _greduce(jnp.sum(nonbg * img_w)) / jnp.maximum(
+            _greduce(jnp.sum(jnp.broadcast_to(img_w, (B, Q)))), 1.0
+        )
+        pair_valid = gt_valid & (qog >= 0)
+        src_boxes = jnp.take_along_axis(
+            boxes, jnp.clip(qog, 0)[..., None], axis=1
+        )
+        giou = elementwise_generalized_box_iou(
+            box_cxcywh_to_xyxy(src_boxes), gt_boxes
+        )
+        matched_giou = _greduce(
+            jnp.sum(jnp.where(pair_valid, giou, 0.0))
+        ) / jnp.maximum(_greduce(jnp.sum(pair_valid.astype(jnp.float32))), 1.0)
+        return {
+            "diag_matched_ce": matched_ce,
+            "diag_noobj_ce": noobj_ce,
+            "diag_nonbg_frac": nonbg_frac,
+            "diag_matched_giou": matched_giou,
+        }
 
     # ----- single-layer losses (B, Q, *) -> scalars -----
 

@@ -62,6 +62,7 @@ from detr_tpu.train.train_step import (
     make_train_step,
 )
 from detr_tpu.utils.chip_pause import pause_requested, wait_while_paused
+from detr_tpu.utils.host import host_rss_gb
 from detr_tpu.utils.logging import MetricLogger
 from detr_tpu.utils.profiling import StepTimer
 from detr_tpu.utils.watchdog import Watchdog
@@ -357,6 +358,7 @@ def train_DETR(
 
             perf = timer.tick()
             if step_i % config.log_frequency == 0:
+                rss = host_rss_gb()
                 host = {k: float(v) for k, v in metrics.items()}
                 lr_scalars = {
                     **perf,
@@ -366,6 +368,7 @@ def train_DETR(
                     "loss/total/train": host["loss"],
                     "grad_norm": host["grad_norm"],
                     "epoch": epoch,
+                    "perf/host_rss_gb": rss,
                 }
                 tracker.log_scalars(lr_scalars, global_step)
                 tracker.log_loss_dict(
@@ -374,8 +377,24 @@ def train_DETR(
                     split="train",
                 )
                 logger.info(
-                    "epoch %d step %d loss %.4f", epoch, step_i, host["loss"]
+                    "epoch %d step %d loss %.4f rss %.1fG",
+                    epoch, step_i, host["loss"], rss,
                 )
+                # Hard RSS tripwire (config.host_rss_limit_gb): restarting
+                # NOW loses at most this epoch; the kernel's OOM kill at
+                # 137 would end the run (retry wrappers treat 42 as
+                # "relaunch me", 137 as operator territory).
+                if (
+                    config.host_rss_limit_gb > 0
+                    and rss > 1.25 * config.host_rss_limit_gb
+                ):
+                    logger.error(
+                        "host RSS %.1f GB > 1.25x limit %.0f GB — exiting "
+                        "42 for relaunch (checkpoint auto-restore resumes)",
+                        rss, config.host_rss_limit_gb,
+                    )
+                    watchdog.stop()
+                    sys.exit(42)
             global_step += 1
 
         if epoch % config.checkpoint_epochs == 0:
@@ -386,6 +405,20 @@ def train_DETR(
             # usual shared checkpoint filesystem (GCS/NFS).
             ckpt.save(epoch, jax.device_get(state), extra={"epoch": epoch})
             watchdog.beat()
+            rss = host_rss_gb()
+            if config.host_rss_limit_gb > 0 and rss > config.host_rss_limit_gb:
+                # Soft self-restart at a CHECKPOINTED boundary: zero lost
+                # work, and the retry wrapper + auto-restore continue the
+                # run with a fresh (leak-free) host process.
+                logger.error(
+                    "host RSS %.1f GB > limit %.0f GB at epoch %d (saved) — "
+                    "exiting 42 for clean relaunch",
+                    rss, config.host_rss_limit_gb, epoch,
+                )
+                watchdog.stop()
+                tracker.close()
+                ckpt.close()
+                sys.exit(42)
 
         if epoch % config.eval_epochs == 0 or epoch == config.epochs - 1:
             val_metrics = run_validation(
@@ -628,6 +661,17 @@ def get_args() -> argparse.Namespace:
     parser.add_argument("--val-batch-size", type=int, default=25)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--epochs", type=int, default=100)
+    parser.add_argument(
+        "--lr", type=float, default=None,
+        help="transformer LR (default TrainingConfig.lr; reference "
+        "train.py:111 equivalent)",
+    )
+    parser.add_argument(
+        "--lr-backbone", type=float, default=None,
+        help="backbone LR (default TrainingConfig.lr_backbone — 10x lower "
+        "than --lr, which assumes a PRETRAINED trunk; from-scratch trunks "
+        "need parity with --lr or the backbone never learns features)",
+    )
     parser.add_argument("--lr-warmup-epochs", type=int, default=5)
     parser.add_argument("--lr-hold-max-epochs", type=int, default=35)
     parser.add_argument("--limit-train-iters", type=int, default=0)
@@ -713,6 +757,10 @@ def main() -> int:
         config = config.replace(
             shape_buckets=parse_shape_buckets(args.shape_buckets)
         )
+    if args.lr is not None:
+        config = config.replace(lr=args.lr)
+    if args.lr_backbone is not None:
+        config = config.replace(lr_backbone=args.lr_backbone)
     detr_config = DETRConfig(backbone=args.backbone)
     if args.tiny:
         detr_config = detr_config.replace(

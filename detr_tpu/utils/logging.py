@@ -43,6 +43,12 @@ def format_loss_for_logging(loss_dict: dict, split: str = "train") -> dict:
         logs[f"Classification Error (1 - accuracy)/{split}"] = float(
             loss_dict["class_error"]
         )
+    # Beyond the reference taxonomy: last-layer liftoff diagnostics
+    # (losses/criterion.py::_liftoff_diagnostics) — the curves that tell a
+    # collapsed-but-recovering classifier from one that can never lift off.
+    for k, v in loss_dict.items():
+        if k.startswith("diag_"):
+            logs[f"Liftoff Diagnostics/{k[len('diag_'):]}/{split}"] = float(v)
     return logs
 
 

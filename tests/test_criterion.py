@@ -138,7 +138,9 @@ def test_losses_match_ragged_reference(problem):
         {k: jnp.asarray(v) for k, v in targets.items()},
     )
     ref = np_reference_losses(outputs, targets, qog, num_classes=5)
-    assert set(ours) == set(ref)
+    # Reference-parity keys exactly, plus our diag_* liftoff diagnostics
+    # (criterion.py::_liftoff_diagnostics — excluded from total_loss).
+    assert {k for k in ours if not k.startswith("diag_")} == set(ref)
     for k in ref:
         assert float(ours[k]) == pytest.approx(ref[k], rel=1e-4, abs=1e-5), k
 
@@ -275,3 +277,80 @@ def test_criterion_shard_map_axis_name_matches_jit():
         np.testing.assert_allclose(
             float(got[k]), float(ref[k]), rtol=2e-5, atol=2e-5, err_msg=k
         )
+
+
+def test_liftoff_diagnostics(rng):
+    """diag_* semantics (criterion.py::_liftoff_diagnostics): construct
+    logits where every matched query confidently predicts its GT class and
+    every other query confidently predicts no-object — matched/no-object CE
+    must both be ~0, nonbg_frac must equal (total GT)/(B*Q), and
+    matched_giou must be ~1 when pred boxes equal GT boxes."""
+    B, L, Q, G, C = 2, 2, 8, 4, 5
+    n_valid = (3, 2)
+    class_idx = rng.integers(0, C, size=(B, G)).astype(np.int32)
+    x0 = rng.uniform(0, 0.4, size=(B, G, 1))
+    y0 = rng.uniform(0, 0.4, size=(B, G, 1))
+    gt = np.concatenate(
+        [x0, y0, x0 + 0.3, y0 + 0.3], axis=-1
+    ).astype(np.float32)
+    valid = np.zeros((B, G), bool)
+    for b, n in enumerate(n_valid):
+        valid[b, :n] = True
+    # identity-ish match: GT g -> query g
+    qog = np.where(valid, np.arange(G)[None], -1)[:, None].repeat(L, 1)
+
+    logits = np.zeros((B, L, Q, C + 1), np.float32)
+    logits[..., C] = 20.0  # default: confident no-object
+    boxes = np.full((B, L, Q, 4), 0.5, np.float32)
+    cxcywh = np.stack(
+        [(gt[..., 0] + gt[..., 2]) / 2, (gt[..., 1] + gt[..., 3]) / 2,
+         gt[..., 2] - gt[..., 0], gt[..., 3] - gt[..., 1]], axis=-1)
+    for b in range(B):
+        for g in range(n_valid[b]):
+            logits[b, :, g, C] = 0.0
+            logits[b, :, g, class_idx[b, g]] = 20.0
+            boxes[b, :, g] = cxcywh[b, g]
+
+    crit = SetCriterion(num_classes=C, matcher=FixedMatcher(qog))
+    out = crit(
+        {"pred_logits": jnp.asarray(logits), "pred_boxes": jnp.asarray(boxes)},
+        {"class_idx": jnp.asarray(class_idx),
+         "boxes_normalized": jnp.asarray(gt),
+         "gt_valid": jnp.asarray(valid)},
+    )
+    assert float(out["diag_matched_ce"]) < 1e-3
+    assert float(out["diag_noobj_ce"]) < 1e-3
+    assert float(out["diag_nonbg_frac"]) == pytest.approx(
+        sum(n_valid) / (B * Q)
+    )
+    assert float(out["diag_matched_giou"]) == pytest.approx(1.0, abs=1e-5)
+    # diagnostics never enter the optimized loss
+    assert float(total_loss(out)) == pytest.approx(
+        sum(float(v) for k, v in out.items() if k.startswith("loss"))
+    )
+
+
+def test_liftoff_diagnostics_collapsed(rng):
+    """A collapsed classifier (everything confidently no-object) shows the
+    signature the diagnostics exist to detect: matched CE high, no-object
+    CE ~0, nonbg_frac == 0."""
+    outputs, targets = make_problem(rng)
+    logits = np.zeros_like(outputs["pred_logits"])
+    logits[..., -1] = 20.0
+    outputs["pred_logits"] = logits
+    B, L, Q, _ = outputs["pred_logits"].shape
+    G = targets["class_idx"].shape[-1]
+    qog = scipy_match_batch(
+        outputs["pred_logits"], outputs["pred_boxes"],
+        np.broadcast_to(targets["class_idx"][:, None], (B, L, G)),
+        np.broadcast_to(targets["boxes_normalized"][:, None], (B, L, G, 4)),
+        np.broadcast_to(targets["gt_valid"][:, None], (B, L, G)),
+    )
+    crit = SetCriterion(num_classes=5, matcher=FixedMatcher(qog))
+    out = crit(
+        {k: jnp.asarray(v) for k, v in outputs.items()},
+        {k: jnp.asarray(v) for k, v in targets.items()},
+    )
+    assert float(out["diag_matched_ce"]) > 10.0
+    assert float(out["diag_noobj_ce"]) < 1e-3
+    assert float(out["diag_nonbg_frac"]) == 0.0
