@@ -47,9 +47,15 @@ def main() -> None:
     epoch = payload.get("extra", {}).get("epoch")
     if epoch is not None:
         # Sidecar for relaunch tooling (watch_and_resume.sh): the epoch to
-        # fast-forward the LR schedule to via --start-epoch.
-        with open(os.path.join(args.out_dir, "EPOCH"), "w") as f:
+        # fast-forward the LR schedule to via --start-epoch.  Written via
+        # temp-file + rename so a timeout between the orbax save above and
+        # this write can never leave a checkpoint/EPOCH pair that disagrees
+        # (a stale EPOCH fast-forwards a later resume to the wrong epoch).
+        path = os.path.join(args.out_dir, "EPOCH")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
             f.write(str(int(epoch) + 1))
+        os.rename(tmp, path)
     print(
         f"exported step {step} (epoch {epoch}) -> {args.out_dir}: "
         "params + frozen only"

@@ -95,15 +95,48 @@ def make_table(series: dict[str, list[tuple[int, float]]]) -> str:
     return "\n".join(rows)
 
 
+def merge_tables(existing: str, fresh: str) -> str:
+    """Row-merge two harvest tables on the epoch column, fresh rows winning.
+
+    A VM reset wipes the tfevents files, so a naive replace would silently
+    drop every pre-reset row from the committed cumulative curve; merging
+    keeps rows harvested by earlier loops that the current logdir no
+    longer knows about."""
+    def epoch_of(line: str):
+        parts = [p.strip() for p in line.strip().strip("|").split("|")]
+        # data rows lead with a (possibly negative) integer epoch
+        return parts[0] if parts and parts[0].lstrip("-").isdigit() else None
+
+    def rows_of(t: str) -> dict[str, str]:
+        return {
+            e: line.rstrip()
+            for line in t.splitlines()
+            if (e := epoch_of(line)) is not None
+        }
+
+    header = [
+        ln.rstrip()
+        for ln in fresh.splitlines()
+        if ln.strip().startswith("|") and epoch_of(ln) is None
+    ][:2]
+    merged = rows_of(existing)
+    merged.update(rows_of(fresh))
+    body = [merged[k] for k in sorted(merged, key=int)]
+    return "\n".join(header + body)
+
+
 def splice_parity(path: str, key: str, table: str) -> bool:
-    """Replace the block between `<!-- HARVEST:key -->` markers in `path`
-    with `table`.  Returns True when the file content changed."""
+    """Merge `table` into the block between `<!-- HARVEST:key -->` markers
+    in `path` (row-merge on epoch: committed pre-reset rows survive a
+    wiped logdir).  Returns True when the file content changed."""
     begin, end = f"<!-- HARVEST:{key} -->", f"<!-- /HARVEST:{key} -->"
     text = open(path).read()
     i, j = text.find(begin), text.find(end)
     if i < 0 or j < 0 or j < i:
         raise SystemExit(f"markers {begin!r}/{end!r} not found in {path}")
-    new = text[: i + len(begin)] + "\n" + table + "\n" + text[j:]
+    existing = text[i + len(begin):j]
+    merged = merge_tables(existing, table)
+    new = text[: i + len(begin)] + "\n" + merged + "\n" + text[j:]
     if new == text:
         return False
     with open(path, "w") as f:

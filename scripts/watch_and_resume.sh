@@ -1,119 +1,98 @@
 #!/usr/bin/env bash
-# Unattended round-3 recovery sequence for a dead axon TPU tunnel:
-#   1. probe the tunnel from a FRESH python every 2 min (a fresh process
+# Persistent unattended recovery watcher for the learning-proof run.
+# Every CHECK_INTERVAL seconds:
+#   1. if the proof trainer (tracked via /tmp/proof.pid = the
+#      train_with_retry.sh wrapper pid) is alive -> nothing to do;
+#   2. else: probe the TPU tunnel from a FRESH python (a fresh process
 #      distinguishes tunnel death from a stuck client — see
-#      utils/watchdog.py docstring) until a real dispatch round-trips;
-#   2. collect the round's perishable CHECKS artifacts (bounded per-bench
-#      by CHECK_TIMEOUT in collect_checks.sh);
-#   3. relaunch the dense learning-proof run under the watchdog retry
-#      wrapper (checkpoint auto-restore resumes from the last epoch).
+#      utils/watchdog.py docstring); when it round-trips, regenerate the
+#      proof dataset if a VM reset wiped it (deterministic seeds ->
+#      bit-identical) and relaunch the trainer under the retry wrapper
+#      (checkpoint auto-restore, or the committed weights seed when runs/
+#      died with the VM);
+#   3. keep the harvest + seed loops alive (flock in each makes duplicate
+#      spawns exit immediately, so liveness matching can be loose).
+#
+# Round-3 hole this closes: the one-shot version only handled a dead
+# TUNNEL at startup — when the trainer itself died outside the retry
+# wrapper's envelope (kernel OOM at 130 GB RSS), nothing relaunched it and
+# the seed loop kept exporting a stale epoch for hours.
 #
 # Usage: nohup scripts/watch_and_resume.sh > /tmp/tpu_watch.log 2>&1 &
+#   RUN_DIR / TRAIN_ARGS override the default flagship-resume run.
 set -uo pipefail
 cd "$(dirname "$0")/.."
 
+RUN_DIR="${RUN_DIR:-runs/proof_r3b}"
+CHECK_INTERVAL="${CHECK_INTERVAL:-120}"
+# Flagship defaults (round-4): continue the r3b curve.  --lr-backbone is
+# raised to parity with the transformer LR — the reference's 10x-lower
+# backbone LR assumes a PRETRAINED ImageNet trunk (reference
+# detr/train.py:111-115 + model.py:432); this run's trunk is from-scratch
+# (no torchvision weights in this environment), and at 3e-5 it never
+# learns features, which is the leading explanation for epochs 0-38's
+# flat val loss at AP 0.000.
+TRAIN_ARGS="${TRAIN_ARGS:---coco-dataset-root datasets/synth3k_dense
+  --output-dir $RUN_DIR
+  --train-batch-size 8 --cumulative-train-batch-size 16
+  --val-batch-size 16 --epochs 120 --eval-epochs 5
+  --lr-backbone 3e-4
+  --shape-buckets 768x768,512x1024,1024x512}"
+
+exec 9> /tmp/detr_watch.lock
+flock -n 9 || { echo "watch_and_resume already running — exiting"; exit 0; }
+
+trainer_alive() {
+  [ -f /tmp/proof.pid ] && kill -0 "$(cat /tmp/proof.pid)" 2>/dev/null
+}
+
+ensure_loops() {
+  # flock inside each loop script guarantees single-instance; spawning a
+  # duplicate is a cheap no-op, so no fragile pgrep cmdline matching.
+  RUN_DIR="$RUN_DIR" nohup bash scripts/harvest_loop.sh >> /tmp/harvest_loop.log 2>&1 &
+  RUN_DIR="$RUN_DIR" nohup bash scripts/seed_loop.sh >> /tmp/seed_loop.log 2>&1 &
+}
+
 while true; do
-  if timeout 240 python -c \
+  if trainer_alive; then
+    ensure_loops
+    sleep "$CHECK_INTERVAL"
+    continue
+  fi
+  # Respect an explicit operator hold (e.g. a builder session running
+  # bounded benchmarks that need the chip).
+  if [ -f /tmp/detr_no_relaunch ]; then
+    sleep "$CHECK_INTERVAL"
+    continue
+  fi
+  echo "$(date -u +%H:%M:%S) trainer dead — probing tunnel"
+  if ! timeout 300 python -c \
     "import jax; print('probe ok', float(jax.numpy.ones((8,8)).sum()))"; then
-    break
+    echo "$(date -u +%H:%M:%S) tunnel still down"
+    sleep "$CHECK_INTERVAL"
+    continue
   fi
-  echo "$(date -u +%H:%M:%S) tunnel still down"
-  sleep 120
-done
-echo "$(date -u +%H:%M:%S) tunnel BACK — collecting checks"
-
-# Idempotence: a committed CHECKS file with no FAILED rows is the round's
-# final artifact — re-collecting would overwrite curated green rows with a
-# fresh (interruptible) run.  Only collect when rows are missing or failed.
-if [ ! -s CHECKS_r03.json ] || grep -q FAILED CHECKS_r03.json; then
-  bash scripts/collect_checks.sh 03 > /tmp/checks_r03.log 2>&1
-  echo "$(date -u +%H:%M:%S) checks done (exit $?)"
-else
-  echo "$(date -u +%H:%M:%S) CHECKS_r03.json already green — skipping collection"
-fi
-
-# Per-op step breakdowns (round-2 verdict weak #1: attribute the R50
-# residual, give DC5 its own table) — opt-in only (PROFILE=1): the raw
-# dumps were lost to a VM reset and PARITY's live-measured step-breakdown
-# table stands, so by default all post-reset chip time goes straight to
-# resuming the proof run instead of ~50 bounded minutes of re-profiling.
-if [ "${PROFILE:-0}" = "1" ]; then
-  if [ ! -s profiles/profile_r50_r03.txt ]; then
-    timeout 1500 python scripts/profile_step.py --config r50 --steps 10 --top 40 \
-      > /tmp/profile_r50.txt 2>/tmp/profile_r50.err
-    echo "$(date -u +%H:%M:%S) r50 profile done (exit $?)"
+  if [ ! -f datasets/synth3k_dense/train/labels.json ] \
+     || [ ! -f datasets/synth3k_dense/validation/labels.json ]; then
+    echo "$(date -u +%H:%M:%S) proof dataset missing (VM reset?) — regenerating"
+    python -m detr_tpu.data.make_synthetic_coco --root datasets/synth3k_dense \
+      --train 3000 --val 500 --boxes 8 16 --max-overlap 0.3
   fi
-  if [ ! -s profiles/profile_dc5_r03.txt ]; then
-    timeout 1500 python scripts/profile_step.py --config dc5 --steps 6 --top 30 \
-      > /tmp/profile_dc5.txt 2>/tmp/profile_dc5.err
-    echo "$(date -u +%H:%M:%S) dc5 profile done (exit $?)"
-  fi
-fi
-
-# The proof dataset is gitignored (datasets/): a VM reset wipes it while
-# the repo survives.  Regenerating is deterministic (fixed seeds), so a
-# fresh copy is bit-identical to the wiped one — but checkpoints die with
-# it, so a post-reset relaunch restarts the curve from epoch 0.
-if [ ! -f datasets/synth3k_dense/train/labels.json ] \
-   || [ ! -f datasets/synth3k_dense/validation/labels.json ]; then
-  echo "$(date -u +%H:%M:%S) proof dataset missing (VM reset?) — regenerating"
-  python -m detr_tpu.data.make_synthetic_coco --root datasets/synth3k_dense \
-    --train 3000 --val 500 --boxes 8 16 --max-overlap 0.3
-fi
-
-# --shape-buckets pins the run to the buckets its epochs 0-2 trained and
-# benched with: one AP curve at one resolution (no mid-run confound), and
-# a memory envelope the chip has already demonstrated it fits (the new
-# envelope-covering DEFAULTS are ~1.75x the pixels — they get their
-# on-chip exercise from `bench.py --e2e` in the checks collection above,
-# bounded and FAILED-annotated, not from a 40-restart training loop).
-# Don't double-launch: a live proof run (this or a builder session's)
-# owns the chip and the output dir.
-if [ -f /tmp/proof.pid ] && kill -0 "$(cat /tmp/proof.pid)" 2>/dev/null; then
-  echo "$(date -u +%H:%M:%S) proof run already live (pid $(cat /tmp/proof.pid)) — not relaunching"
-else
   # Committed weights seed (scripts/export_weights.py): when the run dir
   # has no checkpoints (VM reset wiped runs/) but the repo carries a
   # distilled {params, frozen} artifact, resume the CURVE via the
   # weights-only path + LR fast-forward instead of restarting at epoch 0.
   SEED_ARGS=()
-  if [ ! -d runs/proof_r3b/checkpoints ] \
-     && [ -f artifacts/proof_weights/EPOCH ]; then
+  if [ ! -d "$RUN_DIR/checkpoints" ] && [ -f artifacts/proof_weights/EPOCH ]; then
     SEED_ARGS=(--resume-from-checkpoint artifacts/proof_weights
                --start-epoch "$(cat artifacts/proof_weights/EPOCH)")
     echo "$(date -u +%H:%M:%S) seeding from committed weights (epoch $(cat artifacts/proof_weights/EPOCH))"
   fi
+  # shellcheck disable=SC2086
   MAX_RESTARTS=40 nohup bash scripts/train_with_retry.sh \
-    --coco-dataset-root datasets/synth3k_dense \
-    --output-dir runs/proof_r3b \
-    --train-batch-size 8 --cumulative-train-batch-size 16 \
-    --val-batch-size 16 --epochs 120 --eval-epochs 5 \
-    --shape-buckets 768x768,512x1024,1024x512 \
-    "${SEED_ARGS[@]}" \
-    >> runs/proof_r3b.log 2>&1 &
+    $TRAIN_ARGS "${SEED_ARGS[@]}" >> "$RUN_DIR.log" 2>&1 &
   echo $! > /tmp/proof.pid
   echo "$(date -u +%H:%M:%S) proof run relaunched, pid $(cat /tmp/proof.pid)"
-fi
-
-# Keep the PARITY learning-proof table auto-refreshing alongside the run
-# (the harvest loop dies with builder sessions; respawn it here so the AP
-# curve gets recorded even if no session is alive).
-if ! pgrep -x -f "bash scripts/harvest_loop.sh" >/dev/null 2>&1; then
-  nohup bash scripts/harvest_loop.sh > /tmp/harvest_loop.log 2>&1 &
-  echo "$(date -u +%H:%M:%S) harvest loop respawned, pid $!"
-fi
-
-# Keep the committed weights seed tracking the run (scripts/seed_loop.sh)
-# so the curve survives the NEXT reset too.
-if ! pgrep -x -f "bash scripts/seed_loop.sh" >/dev/null 2>&1; then
-  nohup bash scripts/seed_loop.sh > /tmp/seed_loop.log 2>&1 &
-  echo "$(date -u +%H:%M:%S) seed loop respawned, pid $!"
-fi
-
-# Persist the perishable on-TPU artifacts into the repo the moment they
-# exist (a judge reads committed files; sessions may be dead by then).
-mkdir -p profiles
-cp -f /tmp/profile_r50.txt profiles/profile_r50_r03.txt 2>/dev/null || true
-cp -f /tmp/profile_dc5.txt profiles/profile_dc5_r03.txt 2>/dev/null || true
-git add CHECKS_r03.json profiles/ 2>/dev/null || true
-git commit -q -m "artifacts: round-3 on-TPU checks + per-op step profiles (auto-collected on tunnel return)" || true
+  ensure_loops
+  sleep "$CHECK_INTERVAL"
+done
