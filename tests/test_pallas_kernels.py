@@ -252,6 +252,18 @@ def test_blocked_backward_dispatch(rng, monkeypatch):
 
     monkeypatch.setattr(pa, "_BWD_SINGLE_MAX_S", 32)
     monkeypatch.setattr(pa, "_DEF_BS", 24)
+    # Record that jax.grad genuinely routes through the blocked backward —
+    # without this the test silently passes via the single-kernel path if
+    # the dispatch in pa._bwd regresses (round-3 verdict #6 / round-2
+    # advisor #3: the module globals must be read at _bwd call time).
+    calls: list[int] = []
+    orig_blocked = pa._flash_backward_blocked
+
+    def counting_blocked(*args, **kwargs):
+        calls.append(kwargs.get("block_s", -1))
+        return orig_blocked(*args, **kwargs)
+
+    monkeypatch.setattr(pa, "_flash_backward_blocked", counting_blocked)
     B, L, S, H, D = 1, 24, 48, 2, 32
     q = jnp.asarray(rng.normal(size=(B, L, H, D)).astype(np.float32))
     k = jnp.asarray(rng.normal(size=(B, S, H, D)).astype(np.float32))
@@ -270,6 +282,8 @@ def test_blocked_backward_dispatch(rng, monkeypatch):
     gr = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(gp, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+    # the blocked route ran, with the patched (call-time) block_s
+    assert calls == [24]
 
 
 def test_pallas_attention_dropout_block_size_invariance(rng):
