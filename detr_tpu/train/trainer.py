@@ -793,7 +793,21 @@ def main() -> int:
             mixed_precision="no",  # fp32 on CPU smoke runs
             eval_shape=(64, 64),
         )
-    train_DETR(config, detr_config, synthetic=args.synthetic)
+    try:
+        train_DETR(config, detr_config, synthetic=args.synthetic)
+    except Exception as e:
+        from detr_tpu.utils.watchdog import WEDGED_EXIT_CODE, is_transport_error
+
+        if is_transport_error(e):
+            # With journal compaction (detr_tpu/__init__.py) a transport
+            # drop raises instead of hanging; same remedy as the heartbeat
+            # watchdog's: relaunch + checkpoint auto-restore.
+            logger.error(
+                "remote transport dropped (%s) — exiting %d for relaunch",
+                e, WEDGED_EXIT_CODE,
+            )
+            sys.exit(WEDGED_EXIT_CODE)
+        raise
     return 0
 
 

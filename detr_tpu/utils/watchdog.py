@@ -105,3 +105,23 @@ class Watchdog:
                 except Exception:
                     pass
                 os._exit(WEDGED_EXIT_CODE)
+
+
+def is_transport_error(exc: BaseException) -> bool:
+    """True when an exception is a dead/dropped remote-TPU transport —
+    restartable by relaunching the process (checkpoint auto-restore makes
+    it a resume), NOT a program bug.
+
+    With op-journal compaction enabled (detr_tpu/__init__.py) a transport
+    drop surfaces as ``JaxRuntimeError: UNAVAILABLE: TPU backend
+    connection dropped; AXON_JOURNAL_COMPACT is set, so the journal
+    cannot be replayed`` instead of the silent hang the heartbeat
+    watchdog exists for — so the trainer maps it to the same
+    WEDGED_EXIT_CODE path.  INVALID_ARGUMENT / RESOURCE_EXHAUSTED / etc.
+    stay fatal: relaunching cannot fix a real program error.
+    """
+    msg = f"{type(exc).__name__}: {exc}"
+    return "UNAVAILABLE" in msg and (
+        "connection" in msg or "transport" in msg or "journal" in msg
+        or "socket" in msg
+    )
