@@ -199,6 +199,14 @@ class TrainingConfig:
     # jitted step (4x less host->device bandwidth; ops/image_norm.py).
     # False reverts to host-side fp32 normalization.
     device_normalize: bool = True
+    # Device-resize wire (ops/device_resize.py): ship SOURCE-resolution
+    # uint8 pixels (~2.5-4x fewer host->device bytes than the padded
+    # augmented-target canvas) and resample on the MXU inside the jitted
+    # step; also removes the host resample (~45% of the augmentation
+    # chain).  Source canvases derive from shape_buckets
+    # (data/bucketing.derive_source_buckets) unless source_buckets is set.
+    device_resize: bool = False
+    source_buckets: Optional[tuple] = None
     # Final epsilon for the on-device auction matcher during training
     # (looser than the 1e-4 parity default: ~25% fewer solver rounds; the
     # matching slack bound 2*eps*G is negligible vs loss magnitudes).

@@ -37,6 +37,42 @@ DEFAULT_BUCKETS = ((832, 1344), (1344, 832), (1056, 1056))
 EVAL_BUCKETS = ((800, 1344), (1344, 800))
 EVAL_BUCKET = EVAL_BUCKETS[0]  # back-compat alias
 
+# Device-resize wire (ops/device_resize.py): images ship at SOURCE
+# resolution in a per-target-bucket source canvas and the jitted step
+# resamples on device.  COCO sources are <= 640 px a side; a target bucket
+# only receives targets of its own aspect class (resampling preserves
+# aspect), so the canvases can be aspect-fitted: the wide bucket receives
+# aspect > 1.32 sources (the square bucket wins the waste comparison below
+# that), whose short side is then < 640/1.32 < 512.  Sources that still
+# exceed their canvas (non-COCO data) are host-downscaled to fit — a
+# documented two-stage-resample approximation on the fallback path only.
+DEFAULT_SOURCE_BUCKETS = ((512, 672), (672, 512), (672, 672))
+EVAL_SOURCE_BUCKETS = ((512, 672), (672, 512))
+_SOURCE_SIDE_CAP = 672  # ceil32(COCO max side 640)
+
+
+def derive_source_buckets(
+    buckets: Sequence[tuple[int, int]],
+) -> tuple[tuple[int, int], ...]:
+    """Source canvases for a custom target-bucket set: each dim capped at
+    the COCO source ceiling.  The canvases must be DISTINCT — the train
+    step recovers the target canvas from the source canvas shape at trace
+    time (train/train_step.py), so a collision would be ambiguous."""
+    if tuple(buckets) == DEFAULT_BUCKETS:
+        return DEFAULT_SOURCE_BUCKETS
+    if tuple(buckets) == EVAL_BUCKETS:
+        return EVAL_SOURCE_BUCKETS
+    out = tuple(
+        (min(bh, _SOURCE_SIDE_CAP), min(bw, _SOURCE_SIDE_CAP))
+        for bh, bw in buckets
+    )
+    if len(set(out)) != len(out):
+        raise ValueError(
+            f"derived source canvases collide for buckets {tuple(buckets)}: "
+            f"{out} — pass distinct source_buckets explicitly"
+        )
+    return out
+
 
 def pick_bucket(h: int, w: int, buckets: Sequence[tuple[int, int]]) -> int:
     """Index of the smallest-waste bucket that fits (h, w); if none fits,
@@ -68,6 +104,87 @@ def fit_to_bucket(img: np.ndarray, target: dict, bucket: tuple[int, int]):
         int(h * scale),
         int(w * scale),
     )
+
+
+def fit_to_bucket_source(
+    img: np.ndarray, target: dict, bucket: tuple[int, int],
+    source_canvas: tuple[int, int],
+):
+    """Device-resize-wire fit: shrink the TARGET geometry (free — only the
+    ``resize_to`` numbers change) when it exceeds the bucket, and
+    host-downscale the SOURCE only when it exceeds the canvas (the
+    fallback two-stage-resample path for non-COCO-sized inputs)."""
+    th, tw = target["resize_to"]
+    bh, bw = bucket
+    if th > bh or tw > bw:
+        s = min(bh / th, bw / tw)
+        target = dict(target, resize_to=(int(th * s), int(tw * s)))
+    h, w = img.shape[:2]
+    sh, sw = source_canvas
+    if h > sh or w > sw:
+        s = min(sh / h, sw / w)
+        resize_to = target["resize_to"]
+        img, target = _resize(img, target, int(h * s), int(w * s))
+        target["resize_to"] = resize_to
+    return img, target
+
+
+def assemble_batch_source(
+    items: Sequence[tuple[np.ndarray, dict]],
+    source_canvas: tuple[int, int],
+    max_gt: int = 100,
+) -> dict[str, np.ndarray]:
+    """Device-resize-wire batch: uint8 images padded into the SOURCE
+    canvas plus per-image (src_height, src_width) -> (height, width)
+    resample instructions for ops/device_resize.py.  Downstream contracts
+    are unchanged: ``height``/``width`` are the POST-resample true extents
+    (what the model's padding mask / positional encoding consume),
+    ``boxes_normalized`` is scale-invariant (source pixels / source size ==
+    target pixels / target size, exactly — the host path's box scaling is
+    ``boxes * new/old`` then ``/ new``), ``boxes`` is in target pixels for
+    the eval metrics."""
+    B = len(items)
+    sh, sw = source_canvas
+    G = max_gt
+    batch = {
+        "image": np.zeros((B, sh, sw, 3), np.uint8),
+        "src_height": np.zeros((B,), np.int32),
+        "src_width": np.zeros((B,), np.int32),
+        "height": np.zeros((B,), np.int32),
+        "width": np.zeros((B,), np.int32),
+        "image_id": np.full((B,), -1, np.int32),
+        "class_idx": np.zeros((B, G), np.int32),
+        "class_id": np.zeros((B, G), np.int32),
+        "iscrowd": np.zeros((B, G), bool),
+        "gt_valid": np.zeros((B, G), bool),
+        "boxes": np.zeros((B, G, 4), np.float32),
+        "boxes_normalized": np.zeros((B, G, 4), np.float32),
+    }
+    for b, (img, t) in enumerate(items):
+        h, w = img.shape[:2]
+        th, tw = t["resize_to"]
+        assert h <= sh and w <= sw, f"source ({h},{w}) exceeds canvas {source_canvas}"
+        assert img.dtype == np.uint8, "device-resize wire is uint8-only"
+        batch["image"][b, :h, :w] = img
+        batch["src_height"][b] = h
+        batch["src_width"][b] = w
+        batch["height"][b] = th
+        batch["width"][b] = tw
+        batch["image_id"][b] = t.get("image_id", -1)
+        n = min(len(t["boxes"]), G)
+        if len(t["boxes"]) > G:
+            import warnings
+
+            warnings.warn(f"dropping {len(t['boxes']) - G} GT boxes beyond max_gt={G}")
+        if n:
+            norm = t["boxes"][:n] / np.array([w, h, w, h], np.float32)
+            batch["boxes_normalized"][b, :n] = norm
+            batch["boxes"][b, :n] = norm * np.array([tw, th, tw, th], np.float32)
+            batch["class_idx"][b, :n] = t["class_idx"][:n]
+            batch["class_id"][b, :n] = t["class_id"][:n]
+            batch["iscrowd"][b, :n] = t["iscrowd"][:n]
+            batch["gt_valid"][b, :n] = True
+    return batch
 
 
 def assemble_batch(

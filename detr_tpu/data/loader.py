@@ -33,7 +33,10 @@ from detr_tpu.data.bucketing import (
     DEFAULT_BUCKETS,
     EVAL_BUCKETS,
     assemble_batch,
+    assemble_batch_source,
+    derive_source_buckets,
     fit_to_bucket,
+    fit_to_bucket_source,
     pick_bucket,
 )
 
@@ -41,12 +44,14 @@ from detr_tpu.data.bucketing import (
 
 _WORKER_DATASET = None
 _WORKER_BUCKETS = None
+_WORKER_SOURCE_BUCKETS = None  # None = target wire; set = device-resize wire
 
 
-def _pool_init(dataset, buckets, base_seed, counter):
-    global _WORKER_DATASET, _WORKER_BUCKETS
+def _pool_init(dataset, buckets, base_seed, counter, source_buckets=None):
+    global _WORKER_DATASET, _WORKER_BUCKETS, _WORKER_SOURCE_BUCKETS
     _WORKER_DATASET = dataset
     _WORKER_BUCKETS = buckets
+    _WORKER_SOURCE_BUCKETS = source_buckets
     # Every worker unpickles an identical dataset copy — identical transform
     # RNG states would replay the same augmentation stream in each worker.
     # Datasets expose set_worker_seed to decorrelate (CocoDataset does).
@@ -66,12 +71,26 @@ def _pool_probe() -> bool:
     return _WORKER_DATASET is not None
 
 
-def _pool_load(i: int):
-    img, target = _WORKER_DATASET[int(i)]
+def _load_fitted(dataset, i, buckets, source_buckets):
+    """Shared item path for both wires: load, pick bucket, fit."""
+    img, target = dataset[int(i)]
     img = np.asarray(img)
-    bucket_id = pick_bucket(img.shape[0], img.shape[1], _WORKER_BUCKETS)
-    img, target = fit_to_bucket(img, target, _WORKER_BUCKETS[bucket_id])
+    if source_buckets is not None:
+        th, tw = target["resize_to"]  # device-resize wire: bucket by TARGET
+        bucket_id = pick_bucket(th, tw, buckets)
+        img, target = fit_to_bucket_source(
+            img, target, buckets[bucket_id], source_buckets[bucket_id]
+        )
+    else:
+        bucket_id = pick_bucket(img.shape[0], img.shape[1], buckets)
+        img, target = fit_to_bucket(img, target, buckets[bucket_id])
     return bucket_id, (img, target)
+
+
+def _pool_load(i: int):
+    return _load_fitted(
+        _WORKER_DATASET, i, _WORKER_BUCKETS, _WORKER_SOURCE_BUCKETS
+    )
 
 
 class BucketedLoader:
@@ -105,6 +124,9 @@ class BucketedLoader:
         worker_mode: str = "auto",  # "auto" | "process" | "thread"
         shard: tuple[int, int] = (0, 1),
         image_dtype: str = "float32",  # "uint8" = device-normalize wire format
+        wire: str = "target",  # "source" = device-resize wire (uint8 source
+        # pixels in a per-bucket canvas; needs emit_source transforms)
+        source_buckets: Optional[Sequence[tuple[int, int]]] = None,
     ):
         if worker_mode == "auto":
             # One pool process per core pays IPC for nothing on small hosts
@@ -125,6 +147,19 @@ class BucketedLoader:
             raise ValueError(f"shard index/count {shard} invalid")
         self.shard = shard
         self.image_dtype = image_dtype
+        if wire not in ("target", "source"):
+            raise ValueError(f"wire must be 'target' or 'source', got {wire!r}")
+        self.wire = wire
+        if wire == "source":
+            self.source_buckets = (
+                tuple(source_buckets)
+                if source_buckets is not None
+                else derive_source_buckets(self.buckets)
+            )
+            if len(self.source_buckets) != len(self.buckets):
+                raise ValueError("source_buckets must pair 1:1 with buckets")
+        else:
+            self.source_buckets = None
         self.epoch = 0
         self._pool = None
         if self._batch_quota() == 0:
@@ -176,7 +211,10 @@ class BucketedLoader:
             pool = ctx.Pool(
                 self.num_workers,
                 initializer=_pool_init,
-                initargs=(self.dataset, self.buckets, self.seed, counter),
+                initargs=(
+                    self.dataset, self.buckets, self.seed, counter,
+                    self.source_buckets,
+                ),
             )
             # Probe that workers actually bootstrapped: spawn re-imports the
             # parent __main__, which fails for e.g. stdin-driven scripts — a
@@ -241,11 +279,7 @@ class BucketedLoader:
         return idx
 
     def _load_item(self, i: int):
-        img, target = self.dataset[int(i)]
-        img = np.asarray(img)
-        bucket_id = pick_bucket(img.shape[0], img.shape[1], self.buckets)
-        img, target = fit_to_bucket(img, target, self.buckets[bucket_id])
-        return bucket_id, (img, target)
+        return _load_fitted(self.dataset, i, self.buckets, self.source_buckets)
 
     def _item_stream(self, indices) -> Iterator:
         if self.num_workers <= 0:
@@ -362,6 +396,18 @@ class BucketedLoader:
         n_min = len(self.dataset) // count
         return max(0, n_min // self.batch_size - (len(self.buckets) - 1))
 
+    def _assemble(self, bucket_id: int, items: list) -> dict[str, np.ndarray]:
+        if self.wire == "source":
+            return assemble_batch_source(
+                items, self.source_buckets[bucket_id], self.max_gt
+            )
+        return assemble_batch(
+            items,
+            self.buckets[bucket_id],
+            self.max_gt,
+            image_dtype=self.image_dtype,
+        )
+
     def __iter__(self) -> Iterator[dict[str, np.ndarray]]:
         indices = self._indices()
         self.epoch += 1
@@ -379,12 +425,7 @@ class BucketedLoader:
                 return
             pools[bucket_id].append(item)
             if len(pools[bucket_id]) == self.batch_size:
-                batch = assemble_batch(
-                    pools[bucket_id],
-                    self.buckets[bucket_id],
-                    self.max_gt,
-                    image_dtype=self.image_dtype,
-                )
+                batch = self._assemble(bucket_id, pools[bucket_id])
                 batch["pad_count"] = np.int32(0)
                 batch["image_valid"] = np.ones(self.batch_size, bool)
                 pools[bucket_id] = []
@@ -406,12 +447,7 @@ class BucketedLoader:
                     continue
                 pad = self.batch_size - len(items)
                 items = items + [items[-1]] * pad
-                batch = assemble_batch(
-                    items,
-                    self.buckets[bucket_id],
-                    self.max_gt,
-                    image_dtype=self.image_dtype,
-                )
+                batch = self._assemble(bucket_id, items)
                 batch["pad_count"] = np.int32(pad)
                 # Padded (repeated) images are excluded from the loss by the
                 # criterion and from detections by the metrics adapter.
@@ -430,6 +466,8 @@ def make_eval_loader(
     shape: tuple[int, int] | None = None,
     shard: tuple[int, int] = (0, 1),
     image_dtype: str = "float32",
+    wire: str = "target",
+    source_buckets=None,
 ):
     """Fixed eval shape(s) (reference val transform: 800/1333 -> padded to
 
@@ -452,4 +490,6 @@ def make_eval_loader(
         num_workers=num_workers,
         shard=shard,
         image_dtype=image_dtype,
+        wire=wire,
+        source_buckets=source_buckets,
     )

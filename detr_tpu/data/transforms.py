@@ -139,8 +139,14 @@ def random_size_crop(
     return crop(img, target, top, left, ch, cw)
 
 
-def clamp_and_sanitize(img: np.ndarray, target: dict):
-    """ClampBoundingBoxes + SanitizeBoundingBoxes (reference data.py:55-58)."""
+def clamp_and_sanitize(
+    img: np.ndarray, target: dict, min_w: float = 1.0, min_h: float = 1.0
+):
+    """ClampBoundingBoxes + SanitizeBoundingBoxes (reference data.py:55-58).
+
+    ``min_w``/``min_h`` override the >= 1 px drop threshold — the
+    device-resize wire passes the source-coordinate equivalent of "1 px at
+    the final scale" (TrainTransform._call_source)."""
     h, w = img.shape[:2]
     boxes = target["boxes"].copy()
     if len(boxes):
@@ -148,7 +154,7 @@ def clamp_and_sanitize(img: np.ndarray, target: dict):
         boxes[:, 1::2] = np.clip(boxes[:, 1::2], 0, h)
         bw = boxes[:, 2] - boxes[:, 0]
         bh = boxes[:, 3] - boxes[:, 1]
-        keep = (bw >= 1.0) & (bh >= 1.0)
+        keep = (bw >= min_w) & (bh >= min_h)
     else:
         keep = np.zeros((0,), bool)
     return img, dict(
@@ -293,6 +299,14 @@ def normalize(img: np.ndarray) -> np.ndarray:
 # ------------------------------------------------------------- pipelines
 
 
+def _shortest_size_ratio(
+    h: int, w: int, rng: np.random.Generator, min_sizes, max_size: int
+) -> float:
+    """The scale factor random_shortest_size would apply (same draw)."""
+    min_size = int(rng.choice(np.atleast_1d(min_sizes)))
+    return min(min_size / min(h, w), max_size / max(h, w))
+
+
 class TrainTransform:
     """Full reference train augmentation (detr/data.py:20-63).
 
@@ -300,6 +314,19 @@ class TrainTransform:
     (``bucketing.assemble_batch`` normalizes uint8 images natively): with
     process workers this ships 4x fewer bytes per image over the IPC pipe
     (uint8 vs fp32), which is the pool's throughput ceiling.
+
+    ``emit_source=True`` (the device-resize wire, ops/device_resize.py):
+    the GEOMETRY of the reference chain is sampled identically (same RNG
+    draw order -> bit-identical target sizes run-for-run with the host
+    path), but the final resample never happens on the host — the image is
+    returned at source resolution (cropped when the crop branch was drawn,
+    mapped back to source coordinates) with ``target["resize_to"] =
+    (th, tw)`` for the device to execute.  Boxes stay in source pixel
+    coordinates; sanitize applies the reference's >= 1 *target* pixel rule
+    scaled back to source units.  Approximations vs the host chain, both
+    augmentation-level: crop offsets round to source pixels (the host path
+    crops in resized sub-pixel space), and the crop branch becomes a
+    single resample instead of resize->crop->resize.
     """
 
     def __init__(
@@ -308,13 +335,17 @@ class TrainTransform:
         scales=TRAIN_SCALES,
         max_size: int = MAX_SIZE,
         normalize: bool = True,
+        emit_source: bool = False,
     ):
         self.rng = np.random.default_rng(seed)
         self.scales = scales
         self.max_size = max_size
         self.normalize = normalize
+        self.emit_source = emit_source
 
     def __call__(self, img, target):
+        if self.emit_source:
+            return self._call_source(img, target)
         rng = self.rng
         img = _to_numpy(img)
         if rng.random() < 0.5:
@@ -335,22 +366,76 @@ class TrainTransform:
             return _to_uint8(img), target
         return normalize(img), target
 
+    def _call_source(self, img, target):
+        rng = self.rng
+        img = _to_numpy(img)
+        if rng.random() < 0.5:
+            img, target = hflip(img, target)
+        img = photometric_distort(img, rng)
+        h, w = img.shape[:2]
+        if rng.random() < 0.5:
+            ratio = _shortest_size_ratio(h, w, rng, self.scales, self.max_size)
+            th, tw = int(round(h * ratio)), int(round(w * ratio))
+        else:
+            # Crop branch, geometry sampled in the s1-resized space exactly
+            # like the host path (same draws: s1, cw, ch, top, left, s2),
+            # then mapped back and executed as ONE host crop + one device
+            # resample instead of resize->crop->resize.
+            ratio1 = _shortest_size_ratio(h, w, rng, (400, 500, 600), 10_000)
+            h1, w1 = int(round(h * ratio1)), int(round(w * ratio1))
+            ch, cw = h1, w1
+            hi_w, hi_h = min(w1, 600), min(h1, 600)
+            if hi_w > 384 and hi_h > 384:  # random_size_crop's guard
+                cw = int(rng.integers(384, hi_w))
+                ch = int(rng.integers(384, hi_h))
+                top = int(rng.integers(0, h1 - ch + 1))
+                left = int(rng.integers(0, w1 - cw + 1))
+                t0 = min(int(round(top / ratio1)), h - 1)
+                l0 = min(int(round(left / ratio1)), w - 1)
+                ch0 = min(max(1, int(round(ch / ratio1))), h - t0)
+                cw0 = min(max(1, int(round(cw / ratio1))), w - l0)
+                img, target = crop(img, target, t0, l0, ch0, cw0)
+            ratio2 = _shortest_size_ratio(ch, cw, rng, self.scales, self.max_size)
+            th, tw = int(round(ch * ratio2)), int(round(cw * ratio2))
+        sh, sw = img.shape[:2]
+        # Reference sanitize drops boxes under 1 px at the FINAL scale
+        # (clamp_and_sanitize runs post-resize there); in source
+        # coordinates that threshold is 1/scale.
+        img, target = clamp_and_sanitize(
+            img, target, min_w=sw / max(tw, 1), min_h=sh / max(th, 1)
+        )
+        target = dict(target, resize_to=(th, tw))
+        return _to_uint8(img), target
+
 
 class ValTransform:
     """Reference val transform (detr/data.py:66-83).
 
-    ``normalize=False``: see TrainTransform."""
+    ``normalize=False`` / ``emit_source=True``: see TrainTransform."""
 
     def __init__(
-        self, min_size: int = 800, max_size: int = MAX_SIZE, normalize: bool = True
+        self,
+        min_size: int = 800,
+        max_size: int = MAX_SIZE,
+        normalize: bool = True,
+        emit_source: bool = False,
     ):
         self.min_size = min_size
         self.max_size = max_size
         self.rng = np.random.default_rng(0)
         self.normalize = normalize
+        self.emit_source = emit_source
 
     def __call__(self, img, target):
         img = _to_numpy(img)
+        if self.emit_source:
+            h, w = img.shape[:2]
+            ratio = min(self.min_size / min(h, w), self.max_size / max(h, w))
+            th, tw = int(round(h * ratio)), int(round(w * ratio))
+            img, target = clamp_and_sanitize(
+                img, target, min_w=w / max(tw, 1), min_h=h / max(th, 1)
+            )
+            return _to_uint8(img), dict(target, resize_to=(th, tw))
         img, target = random_shortest_size(
             img, target, self.rng, (self.min_size,), self.max_size
         )
@@ -366,9 +451,13 @@ def _to_uint8(img: np.ndarray) -> np.ndarray:
     return np.clip(img, 0, 255).astype(np.uint8)
 
 
-def get_train_transforms(seed: int = 0, normalize: bool = True) -> TrainTransform:
-    return TrainTransform(seed=seed, normalize=normalize)
+def get_train_transforms(
+    seed: int = 0, normalize: bool = True, emit_source: bool = False
+) -> TrainTransform:
+    return TrainTransform(seed=seed, normalize=normalize, emit_source=emit_source)
 
 
-def get_val_transforms(normalize: bool = True) -> ValTransform:
-    return ValTransform(normalize=normalize)
+def get_val_transforms(
+    normalize: bool = True, emit_source: bool = False
+) -> ValTransform:
+    return ValTransform(normalize=normalize, emit_source=emit_source)

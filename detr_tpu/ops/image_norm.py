@@ -49,3 +49,45 @@ def prepare_image(batch_image: Array, height: Array, width: Array) -> Array:
     if batch_image.dtype == jnp.uint8:
         return device_normalize_image(batch_image, height, width)
     return batch_image
+
+
+def prepare_batch_image(
+    batch: dict[str, Array],
+    canvas_map: "dict[tuple[int, int], tuple[int, int]] | None" = None,
+) -> Array:
+    """Full wire dispatcher: fp32 host-normalized, uint8 device-normalize,
+    or the device-resize wire (``src_height``/``src_width`` present:
+    source-resolution uint8 resampled on device to each image's augmented
+    ``height`` x ``width``, then normalized).  ``canvas_map`` maps the
+    static source-canvas shape to the target canvas (the shapes are
+    distinct by construction — data/bucketing.derive_source_buckets), so
+    the dispatch is trace-time static with no API change at the step."""
+    image = batch["image"]
+    if "src_height" in batch:
+        from detr_tpu.ops.device_resize import resize_on_device
+
+        if canvas_map is None:
+            raise ValueError(
+                "device-resize wire batch but the step was built without a "
+                "canvas_map (pass TrainingConfig.device_resize through)"
+            )
+        canvas = canvas_map[(int(image.shape[1]), int(image.shape[2]))]
+        x = resize_on_device(
+            image, batch["src_height"], batch["src_width"],
+            batch["height"], batch["width"], canvas,
+        )
+        # Same folded normalize + pad-to-exact-zero contract as the uint8
+        # wire; x is already zero outside each extent, but normalize maps
+        # 0 -> -bias, so re-mask.
+        x = x * _SCALE - _BIAS
+        H, W = canvas
+        rows = (
+            jnp.arange(H, dtype=jnp.int32)[None, :, None]
+            < batch["height"][:, None, None]
+        )
+        cols = (
+            jnp.arange(W, dtype=jnp.int32)[None, None, :]
+            < batch["width"][:, None, None]
+        )
+        return jnp.where((rows & cols)[..., None], x, 0.0)
+    return prepare_image(image, batch["height"], batch["width"])

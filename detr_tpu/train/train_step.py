@@ -27,7 +27,7 @@ from detr_tpu.config import DETRConfig, TrainingConfig
 from detr_tpu.losses.criterion import SetCriterion, total_loss
 from detr_tpu.matcher.hungarian import HungarianMatcher
 from detr_tpu.models.detr import DETR
-from detr_tpu.ops.image_norm import prepare_image
+from detr_tpu.ops.image_norm import prepare_batch_image, prepare_image
 
 Array = jax.Array
 
@@ -53,13 +53,13 @@ def create_train_state(
     tx: optax.GradientTransformation,
     rng: Array,
     sample_batch: dict[str, Array],
+    canvas_map: Optional[dict] = None,
 ) -> TrainState:
     variables = model.init(
         rng,
-        prepare_image(
-            jnp.asarray(sample_batch["image"]),
-            jnp.asarray(sample_batch["height"]),
-            jnp.asarray(sample_batch["width"]),
+        prepare_batch_image(
+            {k: jnp.asarray(v) for k, v in sample_batch.items()},
+            canvas_map,
         ),
         sample_batch["height"],
         sample_batch["width"],
@@ -109,18 +109,22 @@ def make_train_step(
     model: DETR,
     criterion: SetCriterion,
     donate: bool = True,
+    canvas_map: Optional[dict] = None,
 ) -> Callable[[TrainState, dict[str, Array]], tuple[TrainState, dict[str, Array]]]:
     """Builds the jitted train step.
 
     Returns step(state, batch) -> (new_state, metrics) where metrics carries
     the reference's full loss dict plus the scalar total loss and gradient
     norm.  The state is donated (its HBM buffers are reused for the output).
+    ``canvas_map`` enables the device-resize wire (ops/image_norm.py
+    ``prepare_batch_image``).
     """
 
     def loss_fn(params, frozen, batch, dropout_rng):
-        # uint8 wire format (ops/image_norm.py) normalizes here, fused by
-        # XLA into the stem; fp32 batches pass through untouched.
-        image = prepare_image(batch["image"], batch["height"], batch["width"])
+        # Wire decode: uint8 device-normalize, fp32 passthrough, or
+        # device-resize (source-resolution uint8 resampled on the MXU to
+        # each image's augmented size) — all fused into the stem by XLA.
+        image = prepare_batch_image(batch, canvas_map)
         outputs = model.apply(
             {"params": params, "frozen": frozen},
             image,
@@ -147,7 +151,9 @@ def make_train_step(
 
 
 def make_eval_step(
-    model: DETR, criterion: Optional[SetCriterion] = None
+    model: DETR,
+    criterion: Optional[SetCriterion] = None,
+    canvas_map: Optional[dict] = None,
 ) -> Callable[..., tuple[dict[str, Array], dict[str, Array]]]:
     """Jitted inference step: outputs (+ loss dict when criterion given),
 
@@ -155,7 +161,7 @@ def make_eval_step(
 
     @partial(jax.jit, static_argnames=())
     def step(params, frozen, batch):
-        image = prepare_image(batch["image"], batch["height"], batch["width"])
+        image = prepare_batch_image(batch, canvas_map)
         outputs = model.apply(
             {"params": params, "frozen": frozen},
             image,

@@ -94,15 +94,22 @@ def _make_loaders(config: TrainingConfig, synthetic: bool):
     # device_normalize the uint8 goes all the way to the chip (4x less
     # host->device bandwidth too) and the jitted step normalizes in-fusion
     # (ops/image_norm.py); otherwise batch assembly normalizes natively in
-    # the parent (data/loader.py docstring).
+    # the parent (data/loader.py docstring).  device_resize goes further:
+    # SOURCE-resolution uint8 on the wire, resample on the MXU
+    # (ops/device_resize.py) — the host never touches target-size pixels.
     image_dtype = "uint8" if config.device_normalize else "float32"
+    wire = "source" if config.device_resize else "target"
     train_dataset = CocoDataset(
         config.coco_dataset_root,
         "train",
-        get_train_transforms(seed=config.seed, normalize=False),
+        get_train_transforms(
+            seed=config.seed, normalize=False,
+            emit_source=config.device_resize,
+        ),
     )
     val_dataset = CocoDataset(
-        config.coco_dataset_root, "validation", get_val_transforms(normalize=False)
+        config.coco_dataset_root, "validation",
+        get_val_transforms(normalize=False, emit_source=config.device_resize),
     )
     train_loader = BucketedLoader(
         train_dataset,
@@ -118,6 +125,8 @@ def _make_loaders(config: TrainingConfig, synthetic: bool):
         # global batch is train_batch_size * process_count.
         shard=data_shard(),
         image_dtype=image_dtype,
+        wire=wire,
+        source_buckets=config.source_buckets,
     )
     val_loader = make_eval_loader(
         val_dataset,
@@ -126,8 +135,18 @@ def _make_loaders(config: TrainingConfig, synthetic: bool):
         num_workers=config.num_workers,
         shape=config.eval_shape,
         image_dtype=image_dtype,
+        wire=wire,
     )
     return train_loader, val_loader, train_dataset.num_classes, train_dataset.class_names
+
+
+def _canvas_map(loader) -> Optional[dict]:
+    """source-canvas shape -> target-canvas shape for the device-resize
+    wire (None on the host-resize wire or synthetic datasets)."""
+    src = getattr(loader, "source_buckets", None)
+    if src is None:
+        return None
+    return dict(zip(src, loader.buckets))
 
 
 def train_DETR(
@@ -184,9 +203,14 @@ def train_DETR(
     criterion = build_criterion(config, detr_config)
     tx, schedules = build_optimizer(config, start_epoch=config.start_epoch)
 
+    train_canvases = _canvas_map(train_loader)
+    eval_canvases = _canvas_map(val_loader)
     sample = next(iter(train_loader))
     sample = {k: jnp.asarray(v) for k, v in sample.items() if k != "pad_count"}
-    state = create_train_state(model, tx, jax.random.PRNGKey(config.seed), sample)
+    state = create_train_state(
+        model, tx, jax.random.PRNGKey(config.seed), sample,
+        canvas_map=train_canvases,
+    )
     watchdog.beat()
     n_params = sum(
         int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(state.params)
@@ -221,12 +245,12 @@ def train_DETR(
         # ~1e4 at layer4 and stall training; pretrained weights ship their
         # own stats so this only applies to the random-init path).
         from detr_tpu.models import calibrate_frozen_bn
-        from detr_tpu.ops.image_norm import prepare_image
+        from detr_tpu.ops.image_norm import prepare_batch_image
 
         cal = calibrate_frozen_bn(
             detr_config,
             {"params": state.params, "frozen": state.frozen},
-            prepare_image(sample["image"], sample["height"], sample["width"]),
+            prepare_batch_image(sample, train_canvases),
         )
         frozen = cal["frozen"]
         if jax.process_count() > 1:
@@ -279,8 +303,10 @@ def train_DETR(
         state = shard_state_tp(state, mesh)
     else:
         state = shard_state(state, mesh)
-    train_step = make_train_step(model, criterion, donate=config.donate_state)
-    eval_step = make_eval_step(model, criterion)
+    train_step = make_train_step(
+        model, criterion, donate=config.donate_state, canvas_map=train_canvases
+    )
+    eval_step = make_eval_step(model, criterion, canvas_map=eval_canvases)
 
     global_step = int(jax.device_get(state.step))
     watchdog.beat()  # startup (init/calibration/restore dispatches) done
@@ -592,8 +618,21 @@ def run_validation(
 
         if step_i == 0 and tracker is not None and log_images:
             gt_items, pred_items = [], []
+            # Device-resize wire: host images are SOURCE resolution while
+            # boxes/preds are in target coordinates — rescale for overlay.
+            src_wire = "src_height" in host_batch
             for i in range(min(n_img, 25)):
                 img = np.asarray(host_batch["image"][i])
+                if src_wire:
+                    sw = int(host_batch["src_width"][i])
+                    sh = int(host_batch["src_height"][i])
+                    tw = max(int(host_batch["width"][i]), 1)
+                    th = max(int(host_batch["height"][i]), 1)
+                    to_src = np.array(
+                        [sw / tw, sh / th, sw / tw, sh / th], np.float32
+                    )
+                else:
+                    to_src = np.ones(4, np.float32)
                 valid = np.asarray(host_batch["gt_valid"][i])
                 names = [
                     class_names[c]
@@ -602,7 +641,7 @@ def run_validation(
                 gt_items.append(
                     {
                         "image": img,
-                        "boxes": np.asarray(host_batch["boxes"][i])[valid],
+                        "boxes": np.asarray(host_batch["boxes"][i])[valid] * to_src,
                         "class_names": names,
                     }
                 )
@@ -610,7 +649,7 @@ def run_validation(
                 pred_items.append(
                     {
                         "image": img,
-                        "boxes": preds[i]["boxes"][keep],
+                        "boxes": preds[i]["boxes"][keep] * to_src,
                         "scores": preds[i]["scores"][keep],
                         "class_names": [
                             n
@@ -710,6 +749,13 @@ def get_args() -> argparse.Namespace:
         "not honored)",
     )
     parser.add_argument(
+        "--device-resize",
+        action="store_true",
+        help="ship source-resolution uint8 and resample to the augmented "
+        "size on the MXU (ops/device_resize.py): ~2.5-4x fewer host->device"
+        " bytes and no host resample",
+    )
+    parser.add_argument(
         "--shape-buckets",
         type=str,
         default=None,
@@ -760,6 +806,7 @@ def main() -> int:
         eval_epochs=args.eval_epochs,
         num_devices=args.num_devices,
         model_parallel=args.model_parallel,
+        device_resize=args.device_resize,
     )
     if args.shape_buckets:
         config = config.replace(
@@ -777,6 +824,10 @@ def main() -> int:
             hidden_size=128,
             ffn_scale_factor=8,  # keep the reference's d_ff/d_model ratio
         )
+        # The on-device matcher needs G <= Q; the dense proof dataset has
+        # <= 16 boxes/image, so 48 GT slots keep 3x headroom under the 50
+        # queries.
+        config = config.replace(max_gt_boxes=48)
     if args.tiny:
         detr_config = detr_config.replace(
             num_object_queries=8,
