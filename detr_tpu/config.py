@@ -207,6 +207,13 @@ class TrainingConfig:
     # (data/bucketing.derive_source_buckets) unless source_buckets is set.
     device_resize: bool = False
     source_buckets: Optional[tuple] = None
+    # Train-time photometric distort (reference detr/data.py:36).  True =
+    # reference parity.  False drops it — required for learning-proof runs
+    # on the synthetic color-coded dataset, where the distort's p=0.5
+    # channel permutation + hue rotation relabel ~44.5% of crops to a
+    # wrong class's color signature (data/transforms.py TrainTransform
+    # docstring; tests/test_transforms.py palette-confusion test).
+    photometric_distort: bool = True
     # Final epsilon for the on-device auction matcher during training
     # (looser than the 1e-4 parity default: ~25% fewer solver rounds; the
     # matching slack bound 2*eps*G is negligible vs loss magnitudes).

@@ -336,12 +336,23 @@ class TrainTransform:
         max_size: int = MAX_SIZE,
         normalize: bool = True,
         emit_source: bool = False,
+        photometric: bool = True,
     ):
         self.rng = np.random.default_rng(seed)
         self.scales = scales
         self.max_size = max_size
         self.normalize = normalize
         self.emit_source = emit_source
+        # ``photometric=False`` drops the distort stage (reference
+        # detr/data.py:36) while keeping the geometric chain intact.  The
+        # distort includes a p=0.5 random CHANNEL PERMUTATION and hue
+        # rotation — correct augmentation for real COCO, but on the
+        # synthetic stand-in dataset (make_synthetic_coco), where class
+        # identity IS the RGB color, it relabels ~44.5% of train crops to
+        # a wrong class's color (measured in tests/test_transforms.py::
+        # test_photometric_distort_confuses_palette) — an unlearnable
+        # classification task.  Learning-proof runs set this False.
+        self.photometric = photometric
 
     def __call__(self, img, target):
         if self.emit_source:
@@ -350,7 +361,8 @@ class TrainTransform:
         img = _to_numpy(img)
         if rng.random() < 0.5:
             img, target = hflip(img, target)
-        img = photometric_distort(img, rng)
+        if self.photometric:
+            img = photometric_distort(img, rng)
         if rng.random() < 0.5:
             img, target = random_shortest_size(
                 img, target, rng, self.scales, self.max_size
@@ -371,7 +383,8 @@ class TrainTransform:
         img = _to_numpy(img)
         if rng.random() < 0.5:
             img, target = hflip(img, target)
-        img = photometric_distort(img, rng)
+        if self.photometric:
+            img = photometric_distort(img, rng)
         h, w = img.shape[:2]
         if rng.random() < 0.5:
             ratio = _shortest_size_ratio(h, w, rng, self.scales, self.max_size)
@@ -452,9 +465,17 @@ def _to_uint8(img: np.ndarray) -> np.ndarray:
 
 
 def get_train_transforms(
-    seed: int = 0, normalize: bool = True, emit_source: bool = False
+    seed: int = 0,
+    normalize: bool = True,
+    emit_source: bool = False,
+    photometric: bool = True,
 ) -> TrainTransform:
-    return TrainTransform(seed=seed, normalize=normalize, emit_source=emit_source)
+    return TrainTransform(
+        seed=seed,
+        normalize=normalize,
+        emit_source=emit_source,
+        photometric=photometric,
+    )
 
 
 def get_val_transforms(

@@ -105,6 +105,7 @@ def _make_loaders(config: TrainingConfig, synthetic: bool):
         get_train_transforms(
             seed=config.seed, normalize=False,
             emit_source=config.device_resize,
+            photometric=config.photometric_distort,
         ),
     )
     val_dataset = CocoDataset(
@@ -756,6 +757,15 @@ def get_args() -> argparse.Namespace:
         " bytes and no host resample",
     )
     parser.add_argument(
+        "--no-photometric-distort",
+        action="store_true",
+        help="drop the train-time photometric distort (reference "
+        "detr/data.py:36; default keeps it).  Required on the synthetic "
+        "color-coded dataset: the distort's channel permutation + hue "
+        "rotation relabel ~44.5% of crops to a wrong class's color "
+        "(TrainingConfig.photometric_distort docstring)",
+    )
+    parser.add_argument(
         "--shape-buckets",
         type=str,
         default=None,
@@ -807,6 +817,7 @@ def main() -> int:
         num_devices=args.num_devices,
         model_parallel=args.model_parallel,
         device_resize=args.device_resize,
+        photometric_distort=not args.no_photometric_distort,
     )
     if args.shape_buckets:
         config = config.replace(
