@@ -251,6 +251,8 @@ def main_e2e() -> None:
     if not os.path.exists(os.path.join(root, "train", "labels.json")):
         generate_split(root, "train", 600, seed=5)
 
+    device_resize = "--device-resize" in sys.argv
+
     def run(batch_size: int) -> float:
         """One full e2e measurement at the given micro-batch; returns
         sustained img/s.  Rebuilt from scratch per attempt so a failed
@@ -262,7 +264,11 @@ def main_e2e() -> None:
         mesh = make_mesh()
 
         dataset = CocoDataset(
-            root, "train", get_train_transforms(seed=0, normalize=False)
+            root,
+            "train",
+            get_train_transforms(
+                seed=0, normalize=False, emit_source=device_resize
+            ),
         )
         loader = BucketedLoader(
             dataset,
@@ -276,6 +282,15 @@ def main_e2e() -> None:
             # Measure the shipped trainer configuration: uint8 wire format,
             # normalization fused on device (trainer.py device_normalize).
             image_dtype="uint8",
+            # --device-resize: ship SOURCE-resolution uint8 and resample on
+            # the MXU (ops/device_resize.py) — ~2.5-4x fewer wire bytes and
+            # no host resample (trainer --device-resize configuration).
+            wire="source" if device_resize else "target",
+        )
+        canvas_map = (
+            dict(zip(loader.source_buckets, loader.buckets))
+            if device_resize
+            else None
         )
 
         model = DETR(detr_config)
@@ -295,18 +310,45 @@ def main_e2e() -> None:
         state = shard_state(
             create_train_state(model, tx, jax.random.PRNGKey(0), warm), mesh
         )
-        train_step = make_train_step(model, criterion, donate=True)
+        train_step = make_train_step(
+            model, criterion, donate=True, canvas_map=canvas_map
+        )
 
         # Warm every bucket shape so the timed loop measures steady state,
         # not XLA compiles (first compile through the relay is minutes).
         # Warm batches must match the loader's uint8 wire dtype or the
         # timed loop would recompile per bucket.
         for h, w in train_config.shape_buckets:
-            b = synthetic_batch(
-                rng, batch_size=batch_size, height=h, width=w,
-                max_gt=train_config.max_gt_boxes,
-            )
-            b["image"] = np.clip(b["image"] * 64 + 128, 0, 255).astype(np.uint8)
+            if device_resize:
+                from detr_tpu.data.bucketing import assemble_batch_source
+
+                sh, sw = [
+                    s for s, t in canvas_map.items() if t == (h, w)
+                ][0]
+                img = rng.integers(0, 256, (sh, sw, 3)).astype(np.uint8)
+                tgt = {
+                    "resize_to": (h, w),
+                    "image_id": 0,
+                    "boxes": np.array(
+                        [[4.0, 4.0, sw / 2, sh / 2]], np.float32
+                    ),
+                    "class_idx": np.array([1], np.int64),
+                    "class_id": np.array([1], np.int64),
+                    "iscrowd": np.array([False]),
+                }
+                b = assemble_batch_source(
+                    [(img, tgt)] * batch_size,
+                    (sh, sw),
+                    train_config.max_gt_boxes,
+                )
+            else:
+                b = synthetic_batch(
+                    rng, batch_size=batch_size, height=h, width=w,
+                    max_gt=train_config.max_gt_boxes,
+                )
+                b["image"] = np.clip(b["image"] * 64 + 128, 0, 255).astype(
+                    np.uint8
+                )
             # The loader's batches carry an image_valid key (tail padding);
             # the warm batch pytree must match EXACTLY or jit retraces and
             # the "warmed" bucket recompiles inside the timed loop.
@@ -357,6 +399,7 @@ def main_e2e() -> None:
                 "unit": "img/s",
                 "vs_baseline": round(img_per_s / BASELINE_IMG_PER_S, 3),
                 "batch_size": batch_size,
+                "wire": "source" if device_resize else "target",
                 # Sustained e2e is host-augmentation-bound; the reference's
                 # 34 img/s baseline ran its DataLoader on a many-core
                 # workstation.  Record this host's core count so the number

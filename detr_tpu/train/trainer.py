@@ -167,9 +167,15 @@ def train_DETR(
     # transport is dead at (re)launch time, device discovery inside
     # initialize_distributed()/make_mesh() blocks forever, and an unarmed
     # process would hang instead of handing exit 42 to the retry wrapper.
-    watchdog = Watchdog(config.watchdog_secs)
-    initialize_distributed()
+    # The heartbeat file is the GIL-held-wedge backstop: the watchdog
+    # thread touches it every poll, train_with_retry.sh kill -9s the
+    # process when its mtime goes stale (utils/watchdog.py docstring).
     os.makedirs(config.output_dir, exist_ok=True)
+    watchdog = Watchdog(
+        config.watchdog_secs,
+        heartbeat_path=os.path.join(config.output_dir, ".heartbeat"),
+    )
+    initialize_distributed()
     if config.model_parallel > 1:
         # (data, model) mesh: Megatron-style TP over the model axis
         # (parallel/tp.py); DP rides the data axis as before.

@@ -41,21 +41,44 @@ WEDGED_EXIT_CODE = 42
 class Watchdog:
     """Hard-exits the process when no ``beat()`` arrives for ``timeout_secs``.
 
-    ``timeout_secs <= 0`` disables the watchdog entirely (no thread).
-    ``beat()`` is cheap (one monotonic read + store) and thread-safe.
-    Use ``pause()``/``resume()`` around phases that legitimately block for
-    a long time with no heartbeat (first XLA compile through a cold cache
-    can take >10 minutes).
+    ``timeout_secs <= 0`` disables the timeout check (the thread still
+    runs when ``heartbeat_path`` is set).  ``beat()`` is cheap (one
+    monotonic read + store) and thread-safe.  Use ``pause()``/``resume()``
+    around phases that legitimately block for a long time with no
+    heartbeat (first XLA compile through a cold cache can take >10
+    minutes).
+
+    ``heartbeat_path``: a file the watchdog thread touches every poll,
+    paused or not.  This is the *second* liveness layer: the in-process
+    timeout can only fire if the watchdog thread gets scheduled, and a
+    wedged C extension call that blocks while HOLDING THE GIL freezes
+    every Python thread including this one (observed: an axon-client
+    socket read wedged the whole interpreter for 45 min with
+    watchdog_secs=1200 never firing — kernel stacks showed one thread in
+    ``poll`` and all others futex-blocked on the GIL).  The file's mtime
+    going stale is therefore the externally observable signal that the
+    interpreter itself is frozen; scripts/train_with_retry.sh watches it
+    and kill -9s the process (checkpoint auto-restore turns that into a
+    resume).  XLA compiles and device waits release the GIL, so a healthy
+    slow startup keeps touching the file and is never falsely killed.
     """
 
-    def __init__(self, timeout_secs: float, poll_secs: float = 10.0):
+    def __init__(
+        self,
+        timeout_secs: float,
+        poll_secs: float = 10.0,
+        heartbeat_path: str | None = None,
+    ):
         self.timeout_secs = float(timeout_secs)
+        self.heartbeat_path = heartbeat_path
         self._last = time.monotonic()
         self._paused = False
         self._stopped = False
         self._lock = threading.Lock()
         self._thread: threading.Thread | None = None
-        if self.timeout_secs > 0:
+        if heartbeat_path:
+            self._touch()
+        if self.timeout_secs > 0 or heartbeat_path:
             self._thread = threading.Thread(
                 target=self._run,
                 args=(float(poll_secs),),
@@ -63,6 +86,13 @@ class Watchdog:
                 name="dispatch-watchdog",
             )
             self._thread.start()
+
+    def _touch(self) -> None:
+        try:
+            with open(self.heartbeat_path, "w") as f:
+                f.write(str(time.time()))
+        except OSError:
+            pass
 
     def beat(self) -> None:
         with self._lock:
@@ -84,12 +114,16 @@ class Watchdog:
     def _run(self, poll_secs: float) -> None:
         while True:
             time.sleep(poll_secs)
+            if self.heartbeat_path:
+                self._touch()
             with self._lock:
                 if self._stopped:
                     return
                 if self._paused:
                     continue
                 silent = time.monotonic() - self._last
+            if self.timeout_secs <= 0:
+                continue
             if silent > self.timeout_secs:
                 logger.critical(
                     "watchdog: no heartbeat for %.0fs (limit %.0fs) — "

@@ -54,3 +54,24 @@ def test_pause_exempts_long_phase():
         "w.resume(); w.stop(); sys.exit(0)\n"
     )
     assert r.returncode == 0, r.stderr
+
+
+def test_heartbeat_file_touched_over_time(tmp_path):
+    """The liveness-file layer (GIL-held-wedge backstop): the watchdog
+    thread touches heartbeat_path every poll, even paused and even with
+    the timeout check disabled (timeout_secs=0); train_with_retry.sh
+    watches the mtime."""
+    import os
+    import time
+
+    hb = str(tmp_path / "hb")
+    w = Watchdog(0, poll_secs=0.05, heartbeat_path=hb)
+    assert w._thread is not None  # thread runs for the heartbeat alone
+    assert os.path.exists(hb)  # touched synchronously at init
+    m0 = os.stat(hb).st_mtime_ns
+    w.pause()  # paused must NOT stop the touches
+    deadline = time.time() + 5.0
+    while os.stat(hb).st_mtime_ns == m0 and time.time() < deadline:
+        time.sleep(0.05)
+    assert os.stat(hb).st_mtime_ns > m0
+    w.stop()
