@@ -207,6 +207,19 @@ class TrainingConfig:
     # (data/bucketing.derive_source_buckets) unless source_buckets is set.
     device_resize: bool = False
     source_buckets: Optional[tuple] = None
+    # From-scratch-trunk frozen-BN stat refresh period in epochs (0 = off,
+    # reference parity: the reference only ever trains from ImageNet
+    # weights whose stats match the weights, reference detr/model.py:432).
+    # A random-init trunk calibrated ONCE at startup drifts away from its
+    # frozen stats as the conv weights train: measured at mid-scale epoch
+    # 35, layer4 activations reached |~3.4e4| and the projected residual
+    # stream |~6.3e5| — the encoder layers' O(1) contributions become
+    # numerically invisible (especially in bf16) and gradient norms sit at
+    # 25-60 against clip 1.0, throttling learning ~50x.  Recalibrating
+    # every N epochs (models/resnet.calibrate_frozen_bn on the startup
+    # sample batch) keeps activations O(1); stats stay constant WITHIN an
+    # epoch, preserving frozen-BN step semantics.
+    bn_recalibrate_epochs: int = 0
     # Train-time photometric distort (reference detr/data.py:36).  True =
     # reference parity.  False drops it — required for learning-proof runs
     # on the synthetic color-coded dataset, where the distort's p=0.5

@@ -8,6 +8,7 @@ from detr_tpu.train.optimizer import (
 from detr_tpu.train.train_step import (
     TrainState,
     create_train_state,
+    create_train_state_abstract,
     make_eval_step,
     make_train_step,
 )
@@ -21,6 +22,7 @@ __all__ = [
     "get_learning_rates",
     "TrainState",
     "create_train_state",
+    "create_train_state_abstract",
     "make_train_step",
     "make_eval_step",
 ]

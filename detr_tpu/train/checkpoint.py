@@ -37,13 +37,20 @@ class CheckpointManager:
     @staticmethod
     def _payload(state: Any, extra: Optional[dict] = None) -> dict:
         # "extra" is always present with a fixed schema so save/restore
-        # templates structurally match.
+        # templates structurally match.  step/rng pass through unwrapped
+        # when the state is a shape-only template (fast-resume path:
+        # train_step.create_train_state_abstract) — np.asarray on a
+        # ShapeDtypeStruct would produce a dtype=object scalar that
+        # tensorstore rejects.
+        def _np(x):
+            return x if isinstance(x, jax.ShapeDtypeStruct) else np.asarray(x)
+
         return {
             "params": state.params,
             "frozen": state.frozen,
             "opt_state": state.opt_state,
-            "step": np.asarray(state.step),
-            "rng": np.asarray(state.rng),
+            "step": _np(state.step),
+            "rng": _np(state.rng),
             "extra": {"epoch": int((extra or {}).get("epoch", 0))},
         }
 

@@ -76,6 +76,29 @@ def create_train_state(
     )
 
 
+def create_train_state_abstract(
+    model: DETR,
+    tx: optax.GradientTransformation,
+    rng: Array,
+    sample_batch: dict[str, Array],
+    canvas_map: Optional[dict] = None,
+) -> TrainState:
+    """Shape-only TrainState (every leaf a ShapeDtypeStruct): the restore
+    template for the trainer's fast-resume path.
+
+    A crash-relaunch that will immediately overwrite the state from a
+    checkpoint has no use for a real init: ``create_train_state`` pays a
+    full init compile + execution on device (minutes through a remote-TPU
+    relay) and the from-scratch path pays a backbone forward for frozen-BN
+    calibration on top — all dead work when orbax restores into the
+    template anyway (StandardRestore accepts abstract leaves).  The
+    reference has no analog: its resume also re-inits then loads
+    (detr/train.py:169-236), but a local CUDA init is cheap."""
+    return jax.eval_shape(
+        lambda: create_train_state(model, tx, rng, sample_batch, canvas_map)
+    )
+
+
 def build_criterion(train_config: TrainingConfig, detr_config: DETRConfig) -> SetCriterion:
     """Matcher + criterion wiring (reference detr/train.py:206-216)."""
     matcher = HungarianMatcher(

@@ -58,6 +58,7 @@ from detr_tpu.train.optimizer import (
 from detr_tpu.train.train_step import (
     build_criterion,
     create_train_state,
+    create_train_state_abstract,
     make_eval_step,
     make_train_step,
 )
@@ -214,10 +215,22 @@ def train_DETR(
     eval_canvases = _canvas_map(val_loader)
     sample = next(iter(train_loader))
     sample = {k: jnp.asarray(v) for k, v in sample.items() if k != "pad_count"}
-    state = create_train_state(
-        model, tx, jax.random.PRNGKey(config.seed), sample,
-        canvas_map=train_canvases,
-    )
+    # Fast resume: when the output dir already has a full-state checkpoint
+    # (crash relaunch), every array in the state is about to be overwritten
+    # by the restore — build a shape-only template instead of paying the
+    # init compile + execution and the frozen-BN calibration forward on
+    # device (minutes each through a remote-TPU relay, every relaunch).
+    will_full_restore = ckpt.latest_step() is not None
+    if will_full_restore:
+        state = create_train_state_abstract(
+            model, tx, jax.random.PRNGKey(config.seed), sample,
+            canvas_map=train_canvases,
+        )
+    else:
+        state = create_train_state(
+            model, tx, jax.random.PRNGKey(config.seed), sample,
+            canvas_map=train_canvases,
+        )
     watchdog.beat()
     n_params = sum(
         int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(state.params)
@@ -234,8 +247,12 @@ def train_DETR(
     )
 
     # Pretrained backbone (torchvision ImageNet weights converted offline by
-    # detr_tpu/models/convert.py — reference detr/model.py:432).
-    if detr_config.backbone_weights:
+    # detr_tpu/models/convert.py — reference detr/model.py:432).  Skipped
+    # entirely on the fast-resume path: the checkpoint carries params AND
+    # frozen stats, so seeding/calibrating first would be dead device work.
+    if will_full_restore:
+        pass
+    elif detr_config.backbone_weights:
         from detr_tpu.models.convert import apply_backbone_weights, load_backbone_npz
 
         bp, bf = load_backbone_npz(detr_config.backbone_weights)
@@ -282,11 +299,11 @@ def train_DETR(
     #     auto-restore (crash/elastic recovery, SURVEY §5: params, optimizer,
     #     step, RNG, epoch — the reference loses optimizer state here).
     first_epoch = config.start_epoch
-    if config.resume_from_checkpoint and ckpt.latest_step() is None:
+    if config.resume_from_checkpoint and not will_full_restore:
         src = CheckpointManager(config.resume_from_checkpoint)
         state = src.restore_params_only(state)
         logger.info("loaded model weights from %s", config.resume_from_checkpoint)
-    elif ckpt.latest_step() is not None:
+    elif will_full_restore:
         if config.resume_from_checkpoint:
             # A crash-relaunch re-passes the original CLI (retry wrapper):
             # the run's OWN checkpoints are strictly newer than the seed —
@@ -321,6 +338,34 @@ def train_DETR(
     timer = StepTimer(config.train_batch_size)
     for epoch in range(first_epoch, config.epochs):
         epoch_t0 = time.time()
+        if (
+            config.bn_recalibrate_epochs > 0
+            and not detr_config.backbone_weights
+            and epoch % config.bn_recalibrate_epochs == 0
+        ):
+            # Refresh the from-scratch trunk's frozen-BN stats to the
+            # CURRENT weights (see TrainingConfig.bn_recalibrate_epochs:
+            # stale stats let activations explode and throttle learning
+            # through the grad clip).  Stats stay constant within the
+            # epoch; params ride their existing mesh placement, only the
+            # small frozen tree is re-placed.
+            from detr_tpu.models import calibrate_frozen_bn
+            from detr_tpu.ops.image_norm import prepare_batch_image as _prep
+
+            cal = calibrate_frozen_bn(
+                detr_config,
+                {"params": state.params, "frozen": state.frozen},
+                _prep(sample, train_canvases),
+            )
+            frozen = cal["frozen"]
+            if jax.process_count() > 1:
+                from jax.experimental import multihost_utils
+
+                frozen = jax.device_get(
+                    multihost_utils.broadcast_one_to_all(frozen)
+                )
+            state = state.replace(frozen=shard_state(frozen, mesh))
+            logger.info("recalibrated frozen-BN statistics (epoch %d)", epoch)
         if hasattr(train_loader, "epoch"):
             # Pin the shuffle permutation to the GLOBAL epoch index (torch
             # DistributedSampler.set_epoch semantics): a crash-restored run
@@ -772,6 +817,16 @@ def get_args() -> argparse.Namespace:
         "(TrainingConfig.photometric_distort docstring)",
     )
     parser.add_argument(
+        "--bn-recalibrate-epochs",
+        type=int,
+        default=0,
+        help="refresh the from-scratch trunk's frozen-BN statistics every N "
+        "epochs (0 = off, reference parity).  Required for from-scratch "
+        "proof runs: one-shot init calibration goes stale as conv weights "
+        "train, exploding activations and throttling learning through the "
+        "grad clip (TrainingConfig.bn_recalibrate_epochs docstring)",
+    )
+    parser.add_argument(
         "--shape-buckets",
         type=str,
         default=None,
@@ -793,8 +848,14 @@ def parse_shape_buckets(spec: str) -> tuple[tuple[int, int], ...]:
 def main() -> int:
     # force=True: importing jax may already have attached a root handler, in
     # which case a plain basicConfig is a no-op and every INFO line (param
-    # count, per-step loss, validation AP) is silently dropped.
-    logging.basicConfig(level=logging.INFO, force=True)
+    # count, per-step loss, validation AP) is silently dropped.  Timestamps
+    # because startup-phase attribution (restore vs compile vs first step)
+    # is exactly what post-mortems need from this log.
+    logging.basicConfig(
+        level=logging.INFO,
+        force=True,
+        format="%(asctime)s %(levelname)s:%(name)s:%(message)s",
+    )
     # Persistent XLA compile cache: the full-size train step costs minutes
     # per bucket shape to compile; crash/resume and repeat runs reuse it.
     jax.config.update(
@@ -824,6 +885,7 @@ def main() -> int:
         model_parallel=args.model_parallel,
         device_resize=args.device_resize,
         photometric_distort=not args.no_photometric_distort,
+        bn_recalibrate_epochs=args.bn_recalibrate_epochs,
     )
     if args.shape_buckets:
         config = config.replace(

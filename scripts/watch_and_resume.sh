@@ -32,11 +32,18 @@ CHECK_INTERVAL="${CHECK_INTERVAL:-120}"
 # (no torchvision weights in this environment), and at 3e-5 it never
 # learns features, which is the leading explanation for epochs 0-38's
 # flat val loss at AP 0.000.
+# Round-4 additions: --no-photometric-distort (the distort relabels ~44.5%
+# of synthetic crops to a wrong class's color — tests/test_transforms.py)
+# and --bn-recalibrate-epochs 1 (one-shot init calibration goes stale as
+# the from-scratch trunk trains; stale stats exploded activations to
+# |6.3e5| by epoch 35 and throttled learning through the grad clip —
+# TrainingConfig.bn_recalibrate_epochs).
 TRAIN_ARGS="${TRAIN_ARGS:---coco-dataset-root datasets/synth3k_dense
   --output-dir $RUN_DIR
   --train-batch-size 8 --cumulative-train-batch-size 16
   --val-batch-size 16 --epochs 120 --eval-epochs 5
   --lr-backbone 3e-4
+  --no-photometric-distort --bn-recalibrate-epochs 1
   --shape-buckets 768x768,512x1024,1024x512}"
 
 exec 9> /tmp/detr_watch.lock

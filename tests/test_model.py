@@ -204,3 +204,45 @@ def test_remat_matches_plain(rng):
     np.testing.assert_allclose(
         np.asarray(l1[1]), np.asarray(l2[1]), atol=1e-5
     )
+
+
+def test_bn_recalibration_tracks_weight_drift():
+    """TrainingConfig.bn_recalibrate_epochs rationale, as an executable
+    fact: a from-scratch trunk calibrated once and then trained drifts
+    away from its frozen stats — simulated here by scaling every conv
+    kernel 1.6x post-calibration (compounding ~1.6^k through the blocks:
+    measured 3.4e4-magnitude layer4 activations at mid-scale epoch 35).
+    Recalibration on the SAME batch restores O(1) activations."""
+    from detr_tpu.config import DETRConfig
+    from detr_tpu.models.resnet import calibrate_frozen_bn
+
+    cfg = DETRConfig(dtype="float32")
+    bb = ResNetBackbone(dtype="float32")
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(1, 64, 64, 3)).astype(np.float32))
+    variables = bb.init(jax.random.PRNGKey(0), x)
+
+    wrap = {"params": {"backbone": variables["params"]},
+            "frozen": {"backbone": variables["frozen"]}}
+    cal = calibrate_frozen_bn(cfg, wrap, x)
+
+    def fwd(v):
+        return bb.apply(
+            {"params": v["params"]["backbone"],
+             "frozen": v["frozen"]["backbone"]}, x)
+
+    base = float(jnp.abs(fwd(cal)).mean())
+    assert base < 10.0  # calibrated trunk is O(1)
+
+    drifted = dict(
+        cal,
+        params={"backbone": jax.tree_util.tree_map(
+            lambda p: p * 1.6 if p.ndim == 4 else p,
+            cal["params"]["backbone"],
+        )},
+    )
+    stale = float(jnp.abs(fwd(drifted)).mean())
+    recal = calibrate_frozen_bn(cfg, drifted, x)
+    fresh = float(jnp.abs(fwd(recal)).mean())
+    assert stale > 50.0 * base, (stale, base)  # the drift pathology is real
+    assert fresh < 10.0, fresh  # recalibration restores the scale

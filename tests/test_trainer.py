@@ -183,3 +183,50 @@ def test_crash_recovery_auto_restore(tmp_path):
     ckpt_dir = os.path.join(config.output_dir, "checkpoints")
     steps = sorted(int(d) for d in os.listdir(ckpt_dir) if d.isdigit())
     assert steps[-1] == 2  # epoch 2 checkpoint written by the resumed run
+
+
+def test_fast_resume_abstract_template_restore(tmp_path):
+    """Fast-resume path (train_step.create_train_state_abstract): restoring
+    a full-state checkpoint into a shape-only template must reproduce the
+    saved state exactly — no init compile, no calibration, no real arrays
+    materialized before the restore."""
+    import jax.numpy as jnp
+    import optax
+
+    from detr_tpu.data import synthetic_batch
+    from detr_tpu.models import DETR
+    from detr_tpu.train import create_train_state, create_train_state_abstract
+
+    model = DETR(TINY)
+    tx = optax.adam(1e-3)
+    batch = {
+        k: jnp.asarray(v)
+        for k, v in synthetic_batch(
+            np.random.default_rng(0), 2, 64, 64, max_gt=8
+        ).items()
+    }
+    state = create_train_state(model, tx, jax.random.PRNGKey(0), batch)
+    state = state.replace(step=jnp.int32(11))
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), max_to_keep=2)
+    mgr.save(0, jax.device_get(state), extra={"epoch": 4})
+
+    abstract = create_train_state_abstract(
+        model, tx, jax.random.PRNGKey(0), batch
+    )
+    # every leaf really is shape-only (nothing touched the device)
+    for leaf in jax.tree_util.tree_leaves(abstract):
+        assert isinstance(leaf, jax.ShapeDtypeStruct), type(leaf)
+
+    restored, extra = mgr.restore(abstract)
+    assert int(restored.step) == 11
+    assert extra.get("epoch") == 4
+    ref_leaves = jax.tree_util.tree_leaves(
+        {"p": state.params, "f": state.frozen, "o": state.opt_state}
+    )
+    got_leaves = jax.tree_util.tree_leaves(
+        {"p": restored.params, "f": restored.frozen, "o": restored.opt_state}
+    )
+    assert len(ref_leaves) == len(got_leaves)
+    for a, b in zip(ref_leaves, got_leaves):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(state.rng), np.asarray(restored.rng))
