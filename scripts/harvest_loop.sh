@@ -17,7 +17,8 @@ flock -n 9 || { echo "harvest_loop already running — exiting"; exit 0; }
 for _ in $(seq 1 "$MAX_ITERS"); do
   sleep "$INTERVAL"
   timeout 600 python scripts/harvest_run.py "$RUN_DIR/logs" \
-    --parity PARITY.md > /tmp/harvest_last.txt 2>&1 || continue
+    --parity PARITY.md --key "$(basename "$RUN_DIR")" \
+    > /tmp/harvest_last.txt 2>&1 || continue
   if ! git diff --quiet -- PARITY.md; then
     # Pathspec-scoped commit: seed_loop commits artifacts/ concurrently.
     git add -- PARITY.md
