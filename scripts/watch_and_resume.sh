@@ -23,26 +23,27 @@
 set -uo pipefail
 cd "$(dirname "$0")/.."
 
-RUN_DIR="${RUN_DIR:-runs/proof_r3b}"
+RUN_DIR="${RUN_DIR:-runs/proof_mid2}"
 CHECK_INTERVAL="${CHECK_INTERVAL:-120}"
-# Flagship defaults (round-4): continue the r3b curve.  --lr-backbone is
-# raised to parity with the transformer LR — the reference's 10x-lower
-# backbone LR assumes a PRETRAINED ImageNet trunk (reference
-# detr/train.py:111-115 + model.py:432); this run's trunk is from-scratch
-# (no torchvision weights in this environment), and at 3e-5 it never
-# learns features, which is the leading explanation for epochs 0-38's
-# flat val loss at AP 0.000.
-# Round-4 additions: --no-photometric-distort (the distort relabels ~44.5%
-# of synthetic crops to a wrong class's color — tests/test_transforms.py)
-# and --bn-recalibrate-epochs 1 (one-shot init calibration goes stale as
-# the from-scratch trunk trains; stale stats exploded activations to
-# |6.3e5| by epoch 35 and throttled learning through the grad clip —
-# TrainingConfig.bn_recalibrate_epochs).
+# Round-4 cert run (proof_mid2): mid-scale preset (--mid: d=128, 6+6,
+# 4 heads, 50 queries) through the production train_DETR path, FRESH —
+# the round-3/4a checkpoints and the old epoch-38 flagship seed sit in a
+# dropout-dependent degenerate basin (PARITY.md round-4 postmortem) and
+# must NOT be resumed.  --lr-backbone is raised to parity with the
+# transformer LR: the reference's 10x-lower backbone LR assumes a
+# PRETRAINED ImageNet trunk (reference detr/train.py:111-115 +
+# model.py:432); this trunk is from-scratch (no torchvision weights in
+# this environment).  --no-photometric-distort: the distort relabels
+# ~44.5% of synthetic crops to a wrong class's color
+# (tests/test_transforms.py).  --bn-recalibrate-epochs 1: one-shot init
+# calibration goes stale as the from-scratch trunk trains; stale stats
+# exploded activations to |6.3e5| by epoch 35 and throttled learning
+# through the grad clip (TrainingConfig.bn_recalibrate_epochs).
 TRAIN_ARGS="${TRAIN_ARGS:---coco-dataset-root datasets/synth3k_dense
   --output-dir $RUN_DIR
   --train-batch-size 8 --cumulative-train-batch-size 16
-  --val-batch-size 16 --epochs 120 --eval-epochs 5
-  --lr-backbone 3e-4
+  --val-batch-size 16 --epochs 80 --eval-epochs 5
+  --mid --lr-backbone 3e-4
   --no-photometric-distort --bn-recalibrate-epochs 1
   --shape-buckets 768x768,512x1024,1024x512}"
 
