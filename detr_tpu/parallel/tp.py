@@ -28,9 +28,19 @@ schedule counters replicate).
 
 Used by ``__graft_entry__.dryrun_multichip`` (DP x TP on the virtual mesh)
 and tested for loss/grad parity vs single-device in
-``tests/test_tensor_parallel.py``.  Single-process meshes only for now —
-multi-host runs keep TP within a host (the standard layout) and that
-wiring lands with the multi-host TP loader story.
+``tests/test_tensor_parallel.py``.
+
+Multi-host: the supported layout is DP across hosts x TP within a host —
+``make_mesh_2d`` over the global (process-major) device list produces
+exactly that whenever the TP degree divides the per-host chip count, and
+``validate_tp`` rejects any mesh whose model-axis groups cross a process
+boundary (a per-layer all-reduce over DCN would dominate the step).
+State placement goes through ``jax.make_array_from_callback`` when the
+runtime is multi-process, so each process contributes only its
+addressable shards; the input pipeline is unchanged (batches shard over
+the data axis only — ``mesh.shard_batch`` already assembles them from
+process-local rows).  Exercised by a real 2-process x 4-device runtime in
+``tests/test_distributed.py::test_two_process_tensor_parallel``.
 """
 
 from __future__ import annotations
@@ -89,10 +99,19 @@ def validate_tp(detr_config, mesh: Mesh) -> None:
                 f"size {tp} (whole heads are sharded)"
             )
         if jax.process_count() > 1:
-            raise NotImplementedError(
-                "tensor parallelism is single-process for now; use DP "
-                "across hosts + TP within a host"
-            )
+            # Each model-axis group (one mesh row) must live on ONE host:
+            # the per-layer output-proj/fc2 all-reduce then rides ICI.
+            rows = np.asarray(mesh.devices).reshape(-1, tp)
+            for row in rows:
+                procs = {d.process_index for d in row}
+                if len(procs) > 1:
+                    raise ValueError(
+                        f"model-axis group {[d.id for d in row]} spans "
+                        f"processes {sorted(procs)} — tensor-parallel groups "
+                        "must stay within one host (DP across hosts x TP "
+                        "within a host); pick a model_parallel degree that "
+                        "divides the per-host chip count"
+                    )
 
 
 def param_specs(params) -> Any:
@@ -113,9 +132,25 @@ def param_specs(params) -> Any:
     return jax.tree_util.tree_unflatten(treedef, specs)
 
 
+def _put(x, sharding: NamedSharding):
+    """Place one host-replicated array under ``sharding``.
+
+    Multi-process: ``device_put`` cannot target non-addressable devices, so
+    the global array is assembled via ``make_array_from_callback`` — every
+    process holds the full host value (same-seed init / shared restore, the
+    same contract as mesh.shard_state) and contributes the shards it owns.
+    """
+    if jax.process_count() > 1:
+        host = np.asarray(x)
+        return jax.make_array_from_callback(
+            host.shape, sharding, lambda idx: host[idx]
+        )
+    return jax.device_put(x, sharding)
+
+
 def _place_tree(tree, specs, mesh: Mesh):
     return jax.tree_util.tree_map(
-        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), tree, specs
+        lambda x, s: _put(x, NamedSharding(mesh, s)), tree, specs
     )
 
 
@@ -144,8 +179,8 @@ def _place_opt_state(opt_state, params, specs, mesh: Mesh):
         s = keystr(path)
         for suffix, shape, spec in suffixes:
             if s.endswith(suffix) and leaf.shape == shape:
-                return jax.device_put(leaf, NamedSharding(mesh, spec))
-        return jax.device_put(leaf, rep)
+                return _put(leaf, NamedSharding(mesh, spec))
+        return _put(leaf, rep)
 
     return jax.tree_util.tree_map_with_path(place, opt_state)
 
@@ -157,10 +192,8 @@ def shard_state_tp(state, mesh: Mesh):
     rep = NamedSharding(mesh, P())
     return state.replace(
         params=_place_tree(state.params, specs, mesh),
-        frozen=jax.tree_util.tree_map(
-            lambda x: jax.device_put(x, rep), state.frozen
-        ),
+        frozen=jax.tree_util.tree_map(lambda x: _put(x, rep), state.frozen),
         opt_state=_place_opt_state(state.opt_state, state.params, specs, mesh),
-        step=jax.device_put(state.step, rep),
-        rng=jax.device_put(state.rng, rep),
+        step=_put(state.step, rep),
+        rng=_put(state.rng, rep),
     )

@@ -103,8 +103,57 @@ def main() -> int:
     return 0
 
 
-if __name__ == "__main__" and not (len(sys.argv) > 3 and sys.argv[3] == "trainer"):
+def main_tp() -> int:
+    """One fused train step under 2 processes x (dp=4, tp=2): DP across
+    "hosts", Megatron TP within each host's 4 virtual devices.  Prints the
+    replicated loss/grad-norm; the test compares them against the same
+    step computed single-process on an identical (8-device, tp=2) mesh."""
+    from detr_tpu.parallel.tp import make_mesh_2d, shard_state_tp, validate_tp
+
+    port, process_id = int(sys.argv[1]), int(sys.argv[2])
+    multi = initialize_distributed(f"localhost:{port}", 2, process_id)
+    assert multi and jax.device_count() == 8
+
+    detr_config = DETRConfig(**TINY)
+    train_config = TrainingConfig(
+        cumulative_train_batch_size=8, train_batch_size=8, max_gt_boxes=8
+    )
+    model = DETR(detr_config)
+    criterion = build_criterion(train_config, detr_config)
+    tx, _ = build_optimizer(train_config)
+
+    batch = global_batch()
+    index, count = data_shard()
+    bl = batch["image"].shape[0] // count
+    local = {k: v[index * bl:(index + 1) * bl] for k, v in batch.items()}
+
+    mesh = make_mesh_2d(model_parallel=2)
+    validate_tp(detr_config, mesh)
+    state = create_train_state(
+        model, tx, jax.random.PRNGKey(0), {k: v[:1] for k, v in batch.items()}
+    )
+    state = shard_state_tp(state, mesh)
+    step = make_train_step(model, criterion, donate=False)
+    _, metrics = step(state, shard_batch(local, mesh))
+    print(
+        json.dumps(
+            {
+                "process": process_id,
+                "loss": float(metrics["loss"]),
+                "grad_norm": float(metrics["grad_norm"]),
+            }
+        ),
+        flush=True,
+    )
+    return 0
+
+
+if __name__ == "__main__" and not (len(sys.argv) > 3 and sys.argv[3] in ("trainer", "tp")):
     raise SystemExit(main())
+
+
+if __name__ == "__main__" and len(sys.argv) > 3 and sys.argv[3] == "tp":
+    raise SystemExit(main_tp())
 
 
 def main_trainer() -> int:

@@ -90,6 +90,73 @@ def test_two_process_train_step_matches_single_process():
     )
 
 
+def test_two_process_tensor_parallel():
+    """Multi-host TP (round-3 verdict stretch #8): 2 real processes x
+    (dp=4, tp=2) — DP across hosts, Megatron TP within each host — must
+    produce the same loss/grad-norm as the identical (8-device, tp=2)
+    mesh in one process.  Exercises validate_tp's cross-process layout
+    check passing and the make_array_from_callback placement path."""
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env.pop("JAX_PLATFORMS", None)
+    env["JAX_ENABLE_X64"] = "0"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.join(REPO, "tests", "distributed_worker.py"),
+             str(port), str(i), "tp"],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            env=env,
+            cwd=REPO,
+            text=True,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=900)
+        assert p.returncode == 0, f"tp worker failed:\n{out}\n{err[-3000:]}"
+        outs.append(json.loads(out.strip().splitlines()[-1]))
+
+    assert outs[0]["loss"] == pytest.approx(outs[1]["loss"], rel=1e-6)
+    assert outs[0]["grad_norm"] == pytest.approx(outs[1]["grad_norm"], rel=1e-6)
+
+    # Single-process reference on the same (data=4, model=2) layout.
+    import jax
+
+    from detr_tpu.config import DETRConfig, TrainingConfig
+    from detr_tpu.models import DETR
+    from detr_tpu.parallel import shard_batch
+    from detr_tpu.parallel.tp import make_mesh_2d, shard_state_tp, validate_tp
+    from detr_tpu.train import build_optimizer, create_train_state
+    from detr_tpu.train.train_step import build_criterion, make_train_step
+    from distributed_worker import TINY, global_batch
+
+    assert jax.device_count() >= 8
+    detr_config = DETRConfig(**TINY)
+    train_config = TrainingConfig(
+        cumulative_train_batch_size=8, train_batch_size=8, max_gt_boxes=8
+    )
+    model = DETR(detr_config)
+    criterion = build_criterion(train_config, detr_config)
+    tx, _ = build_optimizer(train_config)
+    batch = global_batch()
+    mesh = make_mesh_2d(8, model_parallel=2)
+    validate_tp(detr_config, mesh)
+    state = create_train_state(
+        model, tx, jax.random.PRNGKey(0), {k: v[:1] for k, v in batch.items()}
+    )
+    state = shard_state_tp(state, mesh)
+    step = make_train_step(model, criterion, donate=False)
+    _, metrics = step(state, shard_batch(batch, mesh))
+
+    np.testing.assert_allclose(outs[0]["loss"], float(metrics["loss"]), rtol=1e-5)
+    np.testing.assert_allclose(
+        outs[0]["grad_norm"], float(metrics["grad_norm"]), rtol=1e-4
+    )
+
+
 def test_two_process_full_trainer(tmp_path):
     """train_DETR end-to-end under a real 2-process runtime: sharded
     loader (equal-batch-count quota), collective orbax saves, multi-process
