@@ -781,6 +781,16 @@ def get_args() -> argparse.Namespace:
         "--synthetic", action="store_true", help="train on synthetic data (smoke)"
     )
     parser.add_argument(
+        "--dropout", type=float, default=None,
+        help="override hidden+attention dropout (reference default 0.1, "
+        "detr/model.py:22-23).  Proof runs on synthetic data train with 0.0: "
+        "with a from-scratch trunk, per-query dropout noise plus the set "
+        "loss's matcher opens a degenerate basin where query diversity comes "
+        "from the noise instead of the query embeddings — the train loss "
+        "falls while the deterministic eval forward stays collapsed "
+        "(PARITY.md round-4 root cause #3)",
+    )
+    parser.add_argument(
         "--tiny",
         action="store_true",
         help="tiny model + 64x64 buckets (CI/CPU smoke runs)",
@@ -896,6 +906,11 @@ def main() -> int:
     if args.lr_backbone is not None:
         config = config.replace(lr_backbone=args.lr_backbone)
     detr_config = DETRConfig(backbone=args.backbone)
+    if args.dropout is not None:
+        detr_config = detr_config.replace(
+            hidden_dropout_prob=args.dropout,
+            attention_probs_dropout_prob=args.dropout,
+        )
     if args.mid:
         detr_config = detr_config.replace(
             num_object_queries=50,

@@ -39,6 +39,19 @@ def main() -> None:
     ap.add_argument("--clip", type=float, default=1.0)
     ap.add_argument("--n-train-batches", type=int, default=16)
     ap.add_argument("--ap50-bar", type=float, default=0.3)
+    # Model-scale overrides (defaults reproduce the original small demo).
+    # --d-model 128 --enc-layers 6 --dec-layers 6 --heads 4 --queries 50
+    # --num-classes 81 --ffn-scale 8 reproduces the --mid cert preset: the
+    # knob set behind the round-4 dropout-basin mechanism check (PARITY.md).
+    ap.add_argument("--d-model", type=int, default=64)
+    ap.add_argument("--enc-layers", type=int, default=2)
+    ap.add_argument("--dec-layers", type=int, default=2)
+    ap.add_argument("--heads", type=int, default=4)
+    ap.add_argument("--queries", type=int, default=16)
+    ap.add_argument("--num-classes", type=int, default=5)
+    ap.add_argument("--ffn-scale", type=int, default=4)
+    ap.add_argument("--dropout", type=float, default=None,
+                    help="override hidden+attention dropout (default: 0.1)")
     args = ap.parse_args()
 
     import jax
@@ -56,17 +69,22 @@ def main() -> None:
     from detr_tpu.train import create_train_state
     from detr_tpu.train.train_step import _targets_of_batch, build_criterion
 
-    num_classes = 5
+    num_classes = args.num_classes
     cfg = DETRConfig(
-        num_object_queries=16,
-        num_encoder_layers=2,
-        num_decoder_layers=2,
-        num_attention_heads=4,
-        hidden_size=64,
-        ffn_scale_factor=4,
+        num_object_queries=args.queries,
+        num_encoder_layers=args.enc_layers,
+        num_decoder_layers=args.dec_layers,
+        num_attention_heads=args.heads,
+        hidden_size=args.d_model,
+        ffn_scale_factor=args.ffn_scale,
         num_classes=num_classes,
         dtype="bfloat16",
     )
+    if args.dropout is not None:
+        cfg = cfg.replace(
+            hidden_dropout_prob=args.dropout,
+            attention_probs_dropout_prob=args.dropout,
+        )
     tc = TrainingConfig(
         cumulative_train_batch_size=args.batch_size,
         train_batch_size=args.batch_size,

@@ -7,7 +7,7 @@
 # Usage: nohup scripts/harvest_loop.sh > /tmp/harvest_loop.log 2>&1 &
 set -uo pipefail
 cd "$(dirname "$0")/.."
-RUN_DIR="${RUN_DIR:-runs/proof_mid2}"
+RUN_DIR="${RUN_DIR:-runs/proof_mid3}"
 INTERVAL="${INTERVAL:-900}"
 MAX_ITERS="${MAX_ITERS:-120}"
 

@@ -13,7 +13,7 @@
 # Usage: nohup scripts/seed_loop.sh > /tmp/seed_loop.log 2>&1 &
 set -uo pipefail
 cd "$(dirname "$0")/.."
-RUN_DIR="${RUN_DIR:-runs/proof_mid2}"
+RUN_DIR="${RUN_DIR:-runs/proof_mid3}"
 INTERVAL="${INTERVAL:-600}"
 COMMIT_EVERY="${COMMIT_EVERY:-10}"
 MAX_ITERS="${MAX_ITERS:-120}"

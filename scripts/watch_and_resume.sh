@@ -23,28 +23,38 @@
 set -uo pipefail
 cd "$(dirname "$0")/.."
 
-RUN_DIR="${RUN_DIR:-runs/proof_mid2}"
+RUN_DIR="${RUN_DIR:-runs/proof_mid3}"
 CHECK_INTERVAL="${CHECK_INTERVAL:-120}"
-# Round-4 cert run (proof_mid2): mid-scale preset (--mid: d=128, 6+6,
-# 4 heads, 50 queries) through the production train_DETR path, FRESH —
-# the round-3/4a checkpoints and the old epoch-38 flagship seed sit in a
-# dropout-dependent degenerate basin (PARITY.md round-4 postmortem) and
-# must NOT be resumed.  --lr-backbone is raised to parity with the
-# transformer LR: the reference's 10x-lower backbone LR assumes a
-# PRETRAINED ImageNet trunk (reference detr/train.py:111-115 +
-# model.py:432); this trunk is from-scratch (no torchvision weights in
-# this environment).  --no-photometric-distort: the distort relabels
-# ~44.5% of synthetic crops to a wrong class's color
-# (tests/test_transforms.py).  --bn-recalibrate-epochs 1: one-shot init
-# calibration goes stale as the from-scratch trunk trains; stale stats
-# exploded activations to |6.3e5| by epoch 35 and throttled learning
-# through the grad clip (TrainingConfig.bn_recalibrate_epochs).
+# Round-4 cert run, third config (proof_mid3): mid-scale preset (--mid:
+# d=128, 6+6, 4 heads, 50 queries) through the production train_DETR
+# path, FRESH — proof_mid2's epoch-21 seed sits in the dropout-noise
+# basin (PARITY.md round-4 root cause #3) and must NOT be resumed.
+# Flags, each tied to a diagnosed defect:
+#   --dropout 0.0 — root cause #3: with a from-scratch trunk on
+#     synthetic data, per-query dropout noise + the set loss's matcher
+#     open a degenerate basin (query diversity from noise, not query
+#     embeddings): train-mode loss falls (mid2: 34) while the
+#     deterministic forward stays collapsed (61, nonbg_frac 0.000,
+#     every argmax no-object — scripts/diagnose_seed.py at the epoch-21
+#     seed).  Mechanism check: the same dims at 256px lift train AP50
+#     0.575 by 6k steps with dropout 0.0 vs 0.000 forever at 0.1.
+#   --lr-backbone 3e-4 — parity with the transformer LR: the
+#     reference's 10x-lower backbone LR assumes a PRETRAINED ImageNet
+#     trunk (reference detr/train.py:111-115 + model.py:432).
+#   --no-photometric-distort — the distort relabels ~44.5% of synthetic
+#     crops to a wrong class's color (tests/test_transforms.py).
+#   --bn-recalibrate-epochs 1 — one-shot init calibration goes stale as
+#     the from-scratch trunk trains (round-4 root cause #2).
+#   --device-resize — source wire: 2.2x cheaper host augmentation
+#     (0.0185 -> 0.0083 s/img measured), so epochs come faster on this
+#     1-core host.
 TRAIN_ARGS="${TRAIN_ARGS:---coco-dataset-root datasets/synth3k_dense
   --output-dir $RUN_DIR
   --train-batch-size 8 --cumulative-train-batch-size 16
-  --val-batch-size 16 --epochs 80 --eval-epochs 5
-  --mid --lr-backbone 3e-4
+  --val-batch-size 16 --epochs 120 --eval-epochs 3
+  --mid --lr-backbone 3e-4 --dropout 0.0
   --no-photometric-distort --bn-recalibrate-epochs 1
+  --device-resize
   --shape-buckets 768x768,512x1024,1024x512}"
 
 exec 9> /tmp/detr_watch.lock
@@ -96,6 +106,10 @@ while true; do
                --start-epoch "$(cat artifacts/proof_weights/EPOCH)")
     echo "$(date -u +%H:%M:%S) seeding from committed weights (epoch $(cat artifacts/proof_weights/EPOCH))"
   fi
+  # The log redirect needs the parent dir to exist BEFORE the trainer
+  # creates it (a fresh run on a fresh VM has no runs/ yet; the failed
+  # redirect otherwise kills the launch subshell silently).
+  mkdir -p "$(dirname "$RUN_DIR.log")"
   # shellcheck disable=SC2086
   MAX_RESTARTS=40 nohup bash scripts/train_with_retry.sh \
     $TRAIN_ARGS "${SEED_ARGS[@]}" >> "$RUN_DIR.log" 2>&1 &
