@@ -106,13 +106,21 @@ class CheckpointManager:
                 step, args=ocp.args.StandardRestore(template)
             )
         except (ValueError, KeyError, TypeError):
-            # Structure mismatch: weights-only artifact.
-            restored = self._mgr.restore(
-                step,
-                args=ocp.args.StandardRestore(
-                    {"params": state.params, "frozen": state.frozen}
-                ),
-            )
+            try:
+                # Structure mismatch: weights-only artifact.
+                restored = self._mgr.restore(
+                    step,
+                    args=ocp.args.StandardRestore(
+                        {"params": state.params, "frozen": state.frozen}
+                    ),
+                )
+            except (ValueError, KeyError, TypeError):
+                # Last resort: templateless restore.  Covers a LIVE seed
+                # directory (scripts/seed_loop.sh exporting concurrently):
+                # a step caught mid-write carries orbax tmp item dirs that
+                # make StandardRestore reject with "multiple checkpointable
+                # objects" even though the committed payload is readable.
+                restored = self._mgr.restore(step)
         return state.replace(params=restored["params"], frozen=restored["frozen"])
 
     def save_params_only(self, step: int, params: Any, frozen: Any) -> None:

@@ -6,9 +6,17 @@
 #     the {params, frozen-BN} artifact (working tree only — the round
 #     driver commits uncommitted work at round end, so the freshest seed
 #     always survives);
-#   * additionally git-commit the artifact when the seed has advanced
-#     >= COMMIT_EVERY epochs since the last committed one (bounds repo
-#     growth: each seed commit adds ~148 MB of blobs).
+#   * additionally commit the artifact to the FORCE-ROTATED orphan branch
+#     `weights-seed` when the seed has advanced >= COMMIT_EVERY epochs
+#     since the last committed one.  Round-4 advisor finding: committing
+#     the ~105 MB orbax blobs to main's history grew the repo by ~100 MB
+#     per advance FOREVER (superseded blobs stay reachable from history).
+#     The orphan branch holds exactly ONE parentless commit, rewritten in
+#     place (update-ref -f): old blobs become unreachable, clone size
+#     stays bounded, and a VM reset restores the seed via
+#     `git restore --source=weights-seed -- artifacts/proof_weights`
+#     (scripts/watch_and_resume.sh does this automatically).  Note
+#     `git update-ref <ref> <val>` already force-moves; no -f exists.
 #
 # Usage: nohup scripts/seed_loop.sh > /tmp/seed_loop.log 2>&1 &
 set -uo pipefail
@@ -24,7 +32,8 @@ MAX_ITERS="${MAX_ITERS:-120}"
 exec 9> /tmp/detr_seed_loop.lock
 flock -n 9 || { echo "seed_loop already running — exiting"; exit 0; }
 
-last_committed="$(git show HEAD:artifacts/proof_weights/EPOCH 2>/dev/null || echo 0)"
+last_committed="$(git show weights-seed:artifacts/proof_weights/EPOCH 2>/dev/null \
+  || git show HEAD:artifacts/proof_weights/EPOCH 2>/dev/null || echo 0)"
 
 for _ in $(seq 1 "$MAX_ITERS"); do
   sleep "$INTERVAL"
@@ -53,12 +62,21 @@ for _ in $(seq 1 "$MAX_ITERS"); do
     continue
   fi
   if [ $((new - last_committed)) -ge "$COMMIT_EVERY" ]; then
-    # Explicit pathspec: harvest_loop commits PARITY.md concurrently; an
-    # unscoped commit here could sweep its staged files (and vice versa).
-    git add -- artifacts/proof_weights
-    git commit -q -m "artifacts: advance flagship weights seed to epoch $new" \
-      -- artifacts/proof_weights || continue
-    last_committed="$new"
-    echo "$(date -u +%H:%M:%S) committed seed at epoch $new"
+    # Plumbing commit into the orphan branch via a TEMPORARY index: the
+    # shared index stays untouched (harvest_loop commits PARITY.md to
+    # main concurrently), and main's history gains zero blobs.
+    tmp_index="$(mktemp /tmp/seed_index.XXXXXX)"
+    rm -f "$tmp_index"
+    if tree=$(
+      GIT_INDEX_FILE="$tmp_index" git add -f -- artifacts/proof_weights \
+        && GIT_INDEX_FILE="$tmp_index" git write-tree
+    ); then
+      commit=$(git commit-tree "$tree" \
+        -m "weights seed: epoch $new (rotated; parentless by design)")
+      git update-ref refs/heads/weights-seed "$commit"
+      last_committed="$new"
+      echo "$(date -u +%H:%M:%S) rotated weights-seed branch to epoch $new"
+    fi
+    rm -f "$tmp_index"
   fi
 done

@@ -100,6 +100,14 @@ while true; do
   # has no checkpoints (VM reset wiped runs/) but the repo carries a
   # distilled {params, frozen} artifact, resume the CURVE via the
   # weights-only path + LR fast-forward instead of restarting at epoch 0.
+  # The seed lives on the force-rotated orphan branch `weights-seed`
+  # (NOT in main's history — see scripts/seed_loop.sh); materialize it
+  # into the working tree first when a reset wiped it.
+  if [ ! -f artifacts/proof_weights/EPOCH ] \
+     && git rev-parse -q --verify weights-seed >/dev/null 2>&1; then
+    git restore --source=weights-seed -- artifacts/proof_weights \
+      && echo "$(date -u +%H:%M:%S) restored weights seed from orphan branch"
+  fi
   SEED_ARGS=()
   if [ ! -d "$RUN_DIR/checkpoints" ] && [ -f artifacts/proof_weights/EPOCH ]; then
     SEED_ARGS=(--resume-from-checkpoint artifacts/proof_weights
