@@ -169,8 +169,15 @@ def build_optimizer(
         ),
     }
 
+    # gradient_max_norm <= 0 disables clipping (clip_by_global_norm(0)
+    # would zero every gradient, which is never what a disable means).
+    clip = (
+        optax.clip_by_global_norm(config.gradient_max_norm)
+        if config.gradient_max_norm > 0
+        else optax.identity()
+    )
     tx = optax.chain(
-        optax.clip_by_global_norm(config.gradient_max_norm),
+        clip,
         optax.multi_transform(group_tx, backbone_label_fn),
     )
 

@@ -765,6 +765,21 @@ def get_args() -> argparse.Namespace:
     )
     parser.add_argument("--lr-warmup-epochs", type=int, default=5)
     parser.add_argument("--lr-hold-max-epochs", type=int, default=35)
+    # Matcher-cost and loss-coefficient knobs (reference train.py:90-103
+    # exposes the same eight as config fields).  None = TrainingConfig
+    # defaults, which are reference parity (1/5/2 costs, 1/5/2 losses,
+    # eos 0.1, clip 1.0).
+    parser.add_argument("--set-cost-class", type=float, default=None)
+    parser.add_argument("--set-cost-bbox", type=float, default=None)
+    parser.add_argument("--set-cost-giou", type=float, default=None)
+    parser.add_argument("--label-ce-loss-coef", type=float, default=None)
+    parser.add_argument("--bbox-loss-coef", type=float, default=None)
+    parser.add_argument("--giou-loss-coef", type=float, default=None)
+    parser.add_argument("--eos-coef", type=float, default=None)
+    parser.add_argument(
+        "--gradient-max-norm", type=float, default=None,
+        help="global-norm grad clip (reference train.py:69-71; <=0 disables)",
+    )
     parser.add_argument("--limit-train-iters", type=int, default=0)
     parser.add_argument("--limit-val-iters", type=int, default=0)
     parser.add_argument("--start-epoch", type=int, default=0)
@@ -874,6 +889,9 @@ def main() -> int:
     )
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     args = get_args()
+    # Full argv in-band: run flags must be verifiable from the run's own
+    # log after the launcher process is gone (flag provenance audits).
+    logging.getLogger(__name__).info("argv: %s", " ".join(sys.argv))
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
     config = TrainingConfig(
@@ -905,6 +923,19 @@ def main() -> int:
         config = config.replace(lr=args.lr)
     if args.lr_backbone is not None:
         config = config.replace(lr_backbone=args.lr_backbone)
+    for flag, field_name in (
+        ("set_cost_class", "set_cost_class"),
+        ("set_cost_bbox", "set_cost_bbox"),
+        ("set_cost_giou", "set_cost_giou"),
+        ("label_ce_loss_coef", "label_ce_loss_coef"),
+        ("bbox_loss_coef", "bbox_loss_coef"),
+        ("giou_loss_coef", "giou_loss_coef"),
+        ("eos_coef", "eos_coef"),
+        ("gradient_max_norm", "gradient_max_norm"),
+    ):
+        val = getattr(args, flag)
+        if val is not None:
+            config = config.replace(**{field_name: val})
     detr_config = DETRConfig(backbone=args.backbone)
     if args.dropout is not None:
         detr_config = detr_config.replace(

@@ -52,6 +52,22 @@ def main() -> None:
     ap.add_argument("--ffn-scale", type=int, default=4)
     ap.add_argument("--dropout", type=float, default=None,
                     help="override hidden+attention dropout (default: 0.1)")
+    # --- trainer-vs-data bisection arms (round-5 root-cause #4) ---
+    # Arm A: memorize FROZEN batches pulled through the PRODUCTION loader
+    # (dataset -> JPEG decode -> augmentation -> bucketing) instead of the
+    # in-memory synthetic generator.  Lifts => the data/pipeline content is
+    # learnable under the harness's step semantics at trainer scale, and
+    # any trainer flatline is in the trainer loop or the streaming regime.
+    ap.add_argument("--coco-root", default=None,
+                    help="pull train batches from this COCO root via the "
+                    "production loader (e.g. datasets/synth3k_dense)")
+    ap.add_argument("--coco-image-size", type=int, default=768,
+                    help="single square bucket side for --coco-root")
+    # Arm B: same loader, STREAMING — a fresh batch every step like the
+    # real trainer (host-driven steps; no fori_loop chaining).
+    ap.add_argument("--stream", action="store_true",
+                    help="with --coco-root: stream new batches every step "
+                    "instead of memorizing n-train-batches")
     args = ap.parse_args()
 
     import jax
@@ -69,7 +85,7 @@ def main() -> None:
     from detr_tpu.train import create_train_state
     from detr_tpu.train.train_step import _targets_of_batch, build_criterion
 
-    num_classes = args.num_classes
+    num_classes = 80 if args.coco_root else args.num_classes
     cfg = DETRConfig(
         num_object_queries=args.queries,
         num_encoder_layers=args.enc_layers,
@@ -108,7 +124,59 @@ def main() -> None:
         }
 
     n_train = args.n_train_batches
-    train_batches = [make_batch(s) for s in range(n_train)]
+    train_iter = None
+    if args.coco_root:
+        from detr_tpu.data import (
+            BucketedLoader,
+            CocoDataset,
+            get_train_transforms,
+            get_val_transforms,
+            make_eval_loader,
+        )
+
+        side = args.coco_image_size
+        train_loader = BucketedLoader(
+            CocoDataset(
+                args.coco_root, "train",
+                get_train_transforms(seed=0, normalize=False, photometric=False),
+            ),
+            args.batch_size,
+            buckets=((side, side),),
+            max_gt=48,
+            shuffle=True,
+            num_workers=2,
+            seed=0,
+        )
+        val_loader = make_eval_loader(
+            CocoDataset(
+                args.coco_root, "validation",
+                get_val_transforms(normalize=False),
+            ),
+            args.batch_size,
+            max_gt=48,
+            num_workers=2,
+            shape=(side, side),
+        )
+
+        def _j(b):
+            return {
+                k: jnp.asarray(v) for k, v in b.items() if k != "pad_count"
+            }
+
+        def loader_stream():
+            while True:
+                for b in train_loader:
+                    yield _j(b)
+
+        train_iter = loader_stream()
+        train_batches = [next(train_iter) for _ in range(n_train)]
+        val_batches_coco = []
+        for b in val_loader:
+            val_batches_coco.append(_j(b))
+            if len(val_batches_coco) == 4:
+                break
+    else:
+        train_batches = [make_batch(s) for s in range(n_train)]
     stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *train_batches)
 
     # Constant LR after a short warmup; the demo needs speed, not the
@@ -153,8 +221,12 @@ def main() -> None:
                           b["image"], b["height"], b["width"])
         return out["pred_logits"][:, -1], out["pred_boxes"][:, -1]
 
-    val_batches = [make_batch(1000 + s) for s in range(4)]
-    names = [f"color_{i}" for i in range(num_classes)]
+    if args.coco_root:
+        val_batches = val_batches_coco
+        names = [f"class_{i}" for i in range(num_classes)]
+    else:
+        val_batches = [make_batch(1000 + s) for s in range(4)]
+        names = [f"color_{i}" for i in range(num_classes)]
 
     def evaluate(s, batches):
         pp = PostProcess(names)
@@ -163,15 +235,28 @@ def main() -> None:
             logits, boxes = infer(s.params, s.frozen, vb)
             preds = pp(logits, boxes, vb["height"], vb["width"])
             host = {k: np.asarray(v) for k, v in vb.items()}
-            # distinct ids per batch (generator reuses 1..B)
-            host["image_id"] = host["image_id"] + vi * args.batch_size
+            if not args.coco_root:
+                # distinct ids per batch (generator reuses 1..B)
+                host["image_id"] = host["image_id"] + vi * args.batch_size
             m.update(preds, host)
         return m.compute()
+
+    @jax.jit
+    def one_step(s, b):
+        rng_, drng = jax.random.split(s.rng)
+        loss, grads = jax.value_and_grad(loss_fn)(s.params, s.frozen, b, drng)
+        return s.apply_gradients(grads).replace(rng=rng_), loss
 
     t0 = time.time()
     done = 0
     while done < args.steps:
-        state, loss = run_chunk(state, jnp.int32(done % n_train))
+        if args.stream and train_iter is not None:
+            # Arm B: fresh loader batch every step (the trainer's data
+            # regime under the harness's step semantics).
+            for _ in range(K):
+                state, loss = one_step(state, next(train_iter))
+        else:
+            state, loss = run_chunk(state, jnp.int32(done % n_train))
         loss = float(loss)
         done += K
         ev = evaluate(state, val_batches)

@@ -41,6 +41,7 @@ run dc5_mfu              --config dc5 --mfu
 run r101_mfu             --config r101 --mfu
 run eval640              --config eval640
 run e2e_sustained        --e2e
+run e2e_device_resize    --e2e --device-resize
 run eval_scale_5k        --eval-scale
 run serve_latency        --serve
 

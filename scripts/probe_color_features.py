@@ -69,6 +69,8 @@ def main() -> None:
     ap.add_argument("--batches", type=int, default=8)
     ap.add_argument("--random-init", action="store_true",
                     help="probe a RANDOM-init model instead (baseline)")
+    ap.add_argument("--save-npz", default=None,
+                    help="checkpoint collected features here per batch")
     args = ap.parse_args()
 
     import jax
@@ -161,6 +163,7 @@ def main() -> None:
         ), np.asarray(qog[:, -1])
 
     X_bb, X_dec, y_all, pix_ok = [], [], [], 0
+    save_path = args.save_npz
     for bi in range(args.batches):
         batch = {
             k: jnp.asarray(v) for k, v in next(it).items() if k != "pad_count"
@@ -194,7 +197,15 @@ def main() -> None:
                 q = int(qog_last[b, g])
                 X_dec.append(dec_last[b, max(q, 0)])
                 y_all.append(want)
-        print(f"batch {bi}: collected {len(y_all)} GT so far")
+        print(f"batch {bi}: collected {len(y_all)} GT so far", flush=True)
+        if save_path:
+            # checkpoint the population every batch: the axon transport
+            # can drop mid-run and feature collection is the expensive part
+            np.savez(
+                save_path,
+                X_bb=np.stack(X_bb), X_dec=np.stack(X_dec),
+                y=np.array(y_all), pix_ok=pix_ok,
+            )
 
     y = np.array(y_all)
     n = len(y)
