@@ -155,7 +155,9 @@ def main() -> None:
             args.batch_size,
             max_gt=48,
             num_workers=2,
-            shape=(side, side),
+            # ValTransform rescales the shorter side to 800, so square
+            # sources land at 800x800 regardless of --coco-image-size.
+            shape=(800, 800),
         )
 
         def _j(b):

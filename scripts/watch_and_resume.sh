@@ -48,10 +48,18 @@ CHECK_INTERVAL="${CHECK_INTERVAL:-120}"
 #   --device-resize — source wire: 2.2x cheaper host augmentation
 #     (0.0185 -> 0.0083 s/img measured), so epochs come faster on this
 #     1-core host.
+#   --epochs 240 — continuation horizon (round 5): the run lifted off at
+#     epoch ~49 and climbs monotonically, but the original 120-epoch
+#     cosine had already decayed the LR to ~1e-4 by epoch 88 and would
+#     starve the escape phase entirely by ~110.  The schedule is
+#     recomputed from config at relaunch (train/schedule.py is pure
+#     epoch->lr), so extending the horizon restores ~2.6e-4 at epoch 88
+#     and keeps LR in the escape-productive range for the whole
+#     continuation (root-cause #4 bisection, PARITY.md round 5).
 TRAIN_ARGS="${TRAIN_ARGS:---coco-dataset-root datasets/synth3k_dense
   --output-dir $RUN_DIR
   --train-batch-size 8 --cumulative-train-batch-size 16
-  --val-batch-size 16 --epochs 120 --eval-epochs 3
+  --val-batch-size 16 --epochs 240 --eval-epochs 3
   --mid --lr-backbone 3e-4 --dropout 0.0
   --no-photometric-distort --bn-recalibrate-epochs 1
   --device-resize
