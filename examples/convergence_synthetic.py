@@ -50,6 +50,9 @@ def main() -> None:
     ap.add_argument("--queries", type=int, default=16)
     ap.add_argument("--num-classes", type=int, default=5)
     ap.add_argument("--ffn-scale", type=int, default=4)
+    ap.add_argument("--max-gt", type=int, default=8,
+                    help="GT pad count for generator batches (pass 48 to "
+                    "shape-match the --coco-root loader's programs)")
     ap.add_argument("--dropout", type=float, default=None,
                     help="override hidden+attention dropout (default: 0.1)")
     # --- trainer-vs-data bisection arms (round-5 root-cause #4) ---
@@ -116,7 +119,7 @@ def main() -> None:
                 batch_size=args.batch_size,
                 height=args.image_size,
                 width=args.image_size,
-                max_gt=8,
+                max_gt=args.max_gt,
                 num_classes=num_classes,
                 mean_boxes=mean_boxes,
                 learnable=True,
@@ -208,10 +211,16 @@ def main() -> None:
     K = args.eval_every
 
     @jax.jit
-    def run_chunk(s, start):
+    def run_chunk(s, start, data):
+        # ``data`` is an explicit parameter, NOT a closure capture: a
+        # closed-over concrete array is a constant of the lowered program,
+        # and at 768px the stacked batches are ~1.8 GB — embedding them
+        # ballooned the program upload/compile through the relay
+        # indefinitely (the 256px cert survived only because its stack was
+        # ~50 MB).
         def body(i, carry):
             s, _ = carry
-            b = jax.tree.map(lambda x: x[(start + i) % n_train], stacked)
+            b = jax.tree.map(lambda x: x[(start + i) % n_train], data)
             rng_, drng = jax.random.split(s.rng)
             loss, grads = jax.value_and_grad(loss_fn)(s.params, s.frozen, b, drng)
             return s.apply_gradients(grads).replace(rng=rng_), loss
@@ -258,7 +267,7 @@ def main() -> None:
             for _ in range(K):
                 state, loss = one_step(state, next(train_iter))
         else:
-            state, loss = run_chunk(state, jnp.int32(done % n_train))
+            state, loss = run_chunk(state, jnp.int32(done % n_train), stacked)
         loss = float(loss)
         done += K
         ev = evaluate(state, val_batches)
