@@ -187,6 +187,12 @@ class TrainingConfig:
     # keep full resolution); shortest side 800, max side 1333 rounded to /32
     # — reference val transform detr/data.py:66-83.
     eval_shape: Tuple[int, int] = (800, 1344)
+    # Val-resize envelope (reference detr/data.py:66-83 hardcodes 800/1333).
+    # Dialable for resolution-curriculum phases (PARITY.md root-cause #4:
+    # token count gates classifier escape speed from a from-scratch trunk),
+    # where honest AP must be measured at the scale the phase trains at.
+    val_min_size: int = 800
+    val_max_size: int = 1333
     # Maximum number of GT boxes per image after padding (COCO max is 93;
     # boxes beyond this are dropped with a warning).
     max_gt_boxes: int = 100

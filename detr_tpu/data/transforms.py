@@ -479,6 +479,14 @@ def get_train_transforms(
 
 
 def get_val_transforms(
-    normalize: bool = True, emit_source: bool = False
+    normalize: bool = True,
+    emit_source: bool = False,
+    min_size: int = 800,
+    max_size: int = MAX_SIZE,
 ) -> ValTransform:
-    return ValTransform(normalize=normalize, emit_source=emit_source)
+    return ValTransform(
+        min_size=min_size,
+        max_size=max_size,
+        normalize=normalize,
+        emit_source=emit_source,
+    )

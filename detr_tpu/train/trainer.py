@@ -111,7 +111,12 @@ def _make_loaders(config: TrainingConfig, synthetic: bool):
     )
     val_dataset = CocoDataset(
         config.coco_dataset_root, "validation",
-        get_val_transforms(normalize=False, emit_source=config.device_resize),
+        get_val_transforms(
+            normalize=False,
+            emit_source=config.device_resize,
+            min_size=config.val_min_size,
+            max_size=config.val_max_size,
+        ),
     )
     train_loader = BucketedLoader(
         train_dataset,
@@ -852,6 +857,22 @@ def get_args() -> argparse.Namespace:
         "grad clip (TrainingConfig.bn_recalibrate_epochs docstring)",
     )
     parser.add_argument(
+        "--val-min-size",
+        type=int,
+        default=None,
+        help="val-resize shortest side (reference 800, detr/data.py:66-83)."
+        "  Resolution-curriculum phases evaluate at the scale they train at"
+        " (PARITY.md root-cause #4); the max side and eval canvas scale"
+        " proportionally unless --eval-shape is given",
+    )
+    parser.add_argument(
+        "--eval-shape",
+        type=str,
+        default=None,
+        help="eval canvas HxW override, e.g. '384x640' (default scales the "
+        "reference 800x1344 canvas by --val-min-size/800)",
+    )
+    parser.add_argument(
         "--shape-buckets",
         type=str,
         default=None,
@@ -860,6 +881,22 @@ def get_args() -> argparse.Namespace:
         "envelope; smaller buckets trade resolution for step speed)",
     )
     return parser.parse_args()
+
+
+def derive_val_envelope(val_min_size: int) -> tuple[int, int, tuple[int, int]]:
+    """Scale the reference 800/1333 val envelope to a new shortest side.
+
+    Returns (min_size, max_size, eval_canvas): max side keeps the
+    reference's 1333/800 ratio and the fixed eval canvas keeps the
+    800x1344 proportions rounded up to /32 (reference detr/data.py:66-83).
+    """
+    vms = val_min_size
+    max_size = int(round(vms * 1333 / 800))
+    canvas = (
+        int(-(-vms // 32) * 32),
+        int(-(-int(round(vms * 1344 / 800)) // 32) * 32),
+    )
+    return vms, max_size, canvas
 
 
 def parse_shape_buckets(spec: str) -> tuple[tuple[int, int], ...]:
@@ -918,6 +955,15 @@ def main() -> int:
     if args.shape_buckets:
         config = config.replace(
             shape_buckets=parse_shape_buckets(args.shape_buckets)
+        )
+    if args.val_min_size is not None:
+        vms, vmax, canvas = derive_val_envelope(args.val_min_size)
+        config = config.replace(
+            val_min_size=vms, val_max_size=vmax, eval_shape=canvas
+        )
+    if args.eval_shape:
+        config = config.replace(
+            eval_shape=parse_shape_buckets(args.eval_shape)[0]
         )
     if args.lr is not None:
         config = config.replace(lr=args.lr)

@@ -27,7 +27,11 @@ Writes a markdown table to stdout; honest numbers need the chip quiet
 from __future__ import annotations
 
 import argparse
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:

@@ -230,3 +230,42 @@ def test_fast_resume_abstract_template_restore(tmp_path):
     for a, b in zip(ref_leaves, got_leaves):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     np.testing.assert_array_equal(np.asarray(state.rng), np.asarray(restored.rng))
+
+
+def test_derive_val_envelope_reference_and_curriculum():
+    """--val-min-size scales the whole reference val envelope.
+
+    Reference detr/data.py:66-83 hardcodes shortest 800 / max 1333 and our
+    fixed canvas is 800x1344; a curriculum phase at a smaller shortest side
+    must keep the same proportions (max side 1333/800, canvas /32-rounded)
+    so resized val images always fit the compiled canvas.
+    """
+    from detr_tpu.train.trainer import derive_val_envelope
+
+    assert derive_val_envelope(800) == (800, 1333, (800, 1344))
+    vms, vmax, canvas = derive_val_envelope(384)
+    assert (vms, vmax) == (384, 640)
+    assert canvas == (384, 672)
+    # fit invariant: any resize with shortest side vms, longest <= vmax
+    # fits canvas or its transpose
+    assert vms <= canvas[0] and vmax <= canvas[1]
+
+
+def test_val_transform_min_size_plumbs_through():
+    from detr_tpu.data.transforms import get_val_transforms
+
+    t = get_val_transforms(normalize=False, min_size=384)
+    img = np.zeros((768, 768, 3), dtype=np.uint8)
+    target = {
+        "boxes": np.zeros((0, 4), dtype=np.float32),
+        "class_idx": np.zeros((0,), dtype=np.int64),
+        "class_id": np.zeros((0,), dtype=np.int64),
+        "iscrowd": np.zeros((0,), dtype=np.int64),
+    }
+    out, _ = t(img, target)
+    assert out.shape[:2] == (384, 384)
+    # source wire: emit_source returns the ORIGINAL pixels + resize_to
+    t2 = get_val_transforms(normalize=False, emit_source=True, min_size=384)
+    out2, tgt2 = t2(img, dict(target))
+    assert out2.shape[:2] == (768, 768)
+    assert tgt2["resize_to"] == (384, 384)
