@@ -484,7 +484,15 @@ def _flash_backward(
 
 
 _BWD_SINGLE_MAX_S = 2048  # single-kernel bwd stack fits scoped VMEM up to here
-_DEF_BS = 512
+# S-blocked backward tile sizes, tuned on a v5e at the DC5 shape
+# (B=2, S=4200, H=8, D=32; scripts/sweep_attention_blocks.py): the
+# (512, 1024) tile runs the backward at ~1.96 ms/layer — at the K=32
+# MXU-depth ceiling for head_dim 32 — vs 2.75 ms at the former
+# (128, 512).  block_q is still capped by the query length (decoder
+# cross-attention has Lq=100: padding it to 512 would 4x the dKV
+# kernel's q-stream for nothing).
+_DEF_BS = 1024
+_DEF_BWD_BQ_LARGE_S = 512
 
 
 def _flash_backward_blocked(
@@ -526,6 +534,13 @@ def _flash_backward_blocked(
     delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
     delta = jnp.transpose(delta, (0, 2, 1)).reshape(B * H, Lq)
     delta = jnp.pad(delta, ((0, 0), (0, Lq_pad - Lq)))[..., None]  # (BH,Lqp,1)
+    # The forward padded lse to ITS block_q multiple; this kernel's block_q
+    # may be larger (_DEF_BWD_BQ_LARGE_S), so re-pad to our Lq_pad — an OOB
+    # block read here returns garbage lse and NaNs the whole gradient.
+    # Zero-lse padding rows are inert: their g (and delta) rows are zero,
+    # so every dK/dV/dQ contribution they touch vanishes.
+    if lse.shape[1] < Lq_pad:
+        lse = jnp.pad(lse, ((0, 0), (0, Lq_pad - lse.shape[1]), (0, 0)))
 
     S_pad = -(-S // block_s) * block_s
     if S_pad != S:
@@ -647,8 +662,14 @@ def _bwd(dropout_rate, block_q, residuals, g):
     if k.shape[1] > _BWD_SINGLE_MAX_S:
         # block_s passed explicitly so the module global is read at call
         # time (tests shrink _DEF_BS to force the multi-S-block route).
+        # Grow the q-block toward the tuned large-S tile, but never past
+        # the /128-rounded query length (see _DEF_BWD_BQ_LARGE_S note).
+        bq = max(
+            block_q,
+            min(_DEF_BWD_BQ_LARGE_S, -(-q.shape[1] // 128) * 128),
+        )
         dq, dk, dv = _flash_backward_blocked(
-            q, k, v, key_padding_mask, seed, g, out, lse, dropout_rate, block_q,
+            q, k, v, key_padding_mask, seed, g, out, lse, dropout_rate, bq,
             block_s=_DEF_BS,
         )
     else:

@@ -56,14 +56,28 @@ CHECK_INTERVAL="${CHECK_INTERVAL:-120}"
 #     epoch->lr), so extending the horizon restores ~2.6e-4 at epoch 88
 #     and keeps LR in the escape-productive range for the whole
 #     continuation (root-cause #4 bisection, PARITY.md round 5).
+#   --shape-buckets 256x256,... + --val-min-size 256 — resolution
+#     curriculum phase 2 (root-cause #4 applied): token count gates the
+#     classifier's escape from the constant-predictor plateau (9x fewer
+#     encoder tokens at 256 px -> ~9x stronger matched-CE gradient per
+#     step; the 256 px mechanism check lifts AP50 0.575 by 6k steps
+#     where 768 px sits at 0.009 after 16.5k).  Boxes are normalized,
+#     so AP remains measured in original-image coordinates; val resizes
+#     to the phase's scale (--val-min-size) so eval matches training.
+#     Phase 3 returns to the 768 px buckets once the classifier is off
+#     the plateau.
+#   --cumulative-train-batch-size 8 (accum 1) — more optimizer steps
+#     per wall-clock on this host-bound box; the 256 px mechanism check
+#     ran at exactly batch 8 / no accumulation / LR 3e-4.
 TRAIN_ARGS="${TRAIN_ARGS:---coco-dataset-root datasets/synth3k_dense
   --output-dir $RUN_DIR
-  --train-batch-size 8 --cumulative-train-batch-size 16
+  --train-batch-size 8 --cumulative-train-batch-size 8
   --val-batch-size 16 --epochs 240 --eval-epochs 3
   --mid --lr-backbone 3e-4 --dropout 0.0
   --no-photometric-distort --bn-recalibrate-epochs 1
   --device-resize
-  --shape-buckets 768x768,512x1024,1024x512}"
+  --shape-buckets 256x256,192x384,384x192
+  --val-min-size 256}"
 
 exec 9> /tmp/detr_watch.lock
 flock -n 9 || { echo "watch_and_resume already running — exiting"; exit 0; }

@@ -246,3 +246,47 @@ def test_bn_recalibration_tracks_weight_drift():
     fresh = float(jnp.abs(fwd(recal)).mean())
     assert stale > 50.0 * base, (stale, base)  # the drift pathology is real
     assert fresh < 10.0, fresh  # recalibration restores the scale
+
+
+def test_parity_dilated_conv_equivalence():
+    """The parity-subgrid dilated conv must reproduce the plain 3x3 /
+    stride-1 / dilation-2 conv exactly with the same (3,3,C,F) kernel
+    (models/resnet.py::_ParityDilatedConv3x3; DC5 layer4 rewrite)."""
+    import jax.lax as lax
+    from detr_tpu.models.resnet import _ParityDilatedConv3x3
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(2, 10, 14, 8)).astype(np.float32))
+    mod = _ParityDilatedConv3x3(features=12, dtype="float32")
+    v = mod.init(jax.random.PRNGKey(0), x)
+    got = mod.apply(v, x)
+
+    k = v["params"]["kernel"]
+    dn = lax.conv_dimension_numbers(x.shape, k.shape, ("NHWC", "HWIO", "NHWC"))
+    ref = lax.conv_general_dilated(
+        x, k, (1, 1), [(2, 2), (2, 2)], rhs_dilation=(2, 2),
+        dimension_numbers=dn,
+    )
+    assert got.shape == ref.shape == (2, 10, 14, 12)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=1e-5)
+
+    # gradient path equivalence (the dW lowering is the point of the rewrite)
+    def loss_fast(params, x):
+        return jnp.sum(mod.apply(params, x) ** 2)
+
+    def loss_ref(kk, x):
+        return jnp.sum(
+            lax.conv_general_dilated(
+                x, kk, (1, 1), [(2, 2), (2, 2)], rhs_dilation=(2, 2),
+                dimension_numbers=dn,
+            ) ** 2
+        )
+
+    gf = jax.grad(loss_fast)(v, x)["params"]["kernel"]
+    gr = jax.grad(loss_ref)(k, x)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gr), atol=2e-4, rtol=1e-4)
+
+    # odd spatial falls back to the plain dilated conv
+    x_odd = jnp.asarray(rng.normal(size=(1, 9, 14, 8)).astype(np.float32))
+    v_odd = mod.init(jax.random.PRNGKey(0), x_odd)
+    assert mod.apply(v_odd, x_odd).shape == (1, 9, 14, 12)
