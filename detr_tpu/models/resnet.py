@@ -227,8 +227,11 @@ class Bottleneck(nn.Module):
     downsample: bool = False
     dtype: str = "bfloat16"
     calibrate: bool = False
-    # Parity-subgrid rewrite of the dilated conv2 (see _ParityDilatedConv3x3)
-    parity_dilated: bool = True
+    # Parity-subgrid rewrite of the dilated conv2 (see _ParityDilatedConv3x3).
+    # A/B'd OFF on v5e: 21.65 vs 21.61 img/s on the DC5 train step —
+    # XLA's base-dilated lowering is already at dense-conv parity there;
+    # kept switchable for targets where it is not.
+    parity_dilated: bool = False
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
